@@ -1,0 +1,122 @@
+"""Log-space Sinkhorn optimal transport with learned target marginals.
+
+TPU-native re-design of the reference's three OT variants
+(reference: models/modules.py:137-196):
+
+- ``log_sinkhorn``       : the inner u/v iteration (modules.py:137-143)
+- ``ot_learned_dustbin`` : level-1 OT with a learned scalar dustbin appended
+                           as an extra row+column (modules.py:145-162)
+- ``ot_inline_dustbin``  : level-2/3 OT where the dustbin is already the last
+                           token of the score matrix (modules.py:165-182)
+
+Design notes (TPU): the iteration runs as a ``lax.fori_loop`` over fused
+row/col logsumexp reductions - each step is two bandwidth-bound passes over
+the (m x n) matrix that XLA fuses with the +u/+v broadcasts.  All math in
+f32.  For sharded score matrices the logsumexp reductions distribute over the
+mesh with ``psum`` (see pats_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray, log_nu: jnp.ndarray,
+                 iters: int) -> jnp.ndarray:
+    """Sinkhorn normalization in log space.
+
+    Args:
+      Z:      (..., m, n) log-cost/coupling matrix.
+      log_mu: (..., m) target log row-marginals.
+      log_nu: (..., n) target log column-marginals.
+      iters:  number of u/v update pairs (static).
+
+    Returns:
+      (..., m, n) log transport plan Z + u[...,None] + v[...,None,:].
+    """
+
+    def body(_, uv):
+        u, v = uv
+        u = log_mu - jax.nn.logsumexp(Z + v[..., None, :], axis=-1)
+        v = log_nu - jax.nn.logsumexp(Z + u[..., :, None], axis=-2)
+        return (u, v)
+
+    u0 = jnp.zeros_like(log_mu)
+    v0 = jnp.zeros_like(log_nu)
+    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+    return Z + u[..., :, None] + v[..., None, :]
+
+
+def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
+                       ns: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Level-1 optimal transport with learned dustbin and per-column scales.
+
+    Semantics of reference modules.py:145-162: a scalar ``alpha`` is appended
+    as an extra column (per row), an extra row (per column), and the corner;
+    the column marginals are the predicted per-patch scales ``ns`` and the
+    appended dustbin column absorbs ``m`` units of mass; row marginals are
+    uniform with the dustbin row absorbing ``sum(ns)``.
+
+    Args:
+      scores: (b, m, n) similarity matrix (already temperature-scaled).
+      alpha:  scalar dustbin logit (the reference uses ``|bin_score|``).
+      ns:     (b, n) predicted per-target-patch scales (positive).
+      iters:  Sinkhorn iterations.
+
+    Returns:
+      (b, m+1, n+1) log transport plan, de-normalized by +log(m + sum(ns))
+      so that exp() sums to (m + sum(ns)) rather than 1.
+    """
+    b, m, n = scores.shape
+    alpha = jnp.asarray(alpha, scores.dtype)
+    bins0 = jnp.full((b, m, 1), alpha, scores.dtype)
+    bins1 = jnp.full((b, 1, n), alpha, scores.dtype)
+    corner = jnp.full((b, 1, 1), alpha, scores.dtype)
+    couplings = jnp.concatenate(
+        [jnp.concatenate([scores, bins0], axis=2),
+         jnp.concatenate([bins1, corner], axis=2)], axis=1)
+
+    ns_sum = jnp.sum(ns, axis=1)                       # (b,)
+    norm = -jnp.log(m + ns_sum)                        # (b,)
+    log_nu = jnp.concatenate(
+        [jnp.log(ns) + norm[:, None],
+         (jnp.log(float(m)) + norm)[:, None]], axis=1)  # (b, n+1)
+    log_mu = jnp.concatenate(
+        [jnp.broadcast_to(norm[:, None], (b, m)),
+         (jnp.log(ns_sum) + norm)[:, None]], axis=1)    # (b, m+1)
+
+    Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
+    return Z - norm[:, None, None]
+
+
+def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
+                      iters: int) -> jnp.ndarray:
+    """Level-2/3 optimal transport where the dustbin is the last token.
+
+    Semantics of reference modules.py:165-182: ``scores`` is (b, m, n) with
+    the last row/column being a learned "rubbish" token produced upstream;
+    the effective source count is m-1.  Column marginals are the predicted
+    scales ``ns`` for the n-1 real columns and (m-1) for the dustbin column.
+
+    Args:
+      scores: (b, m, n) similarity matrix including the dustbin row/column.
+      ns:     (b, n-1) predicted per-cell scales (positive).
+      iters:  Sinkhorn iterations.
+
+    Returns:
+      (b, m, n) log transport plan de-normalized by +log((m-1) + sum(ns)).
+    """
+    b, m, n = scores.shape
+    ms = float(m - 1)
+    ns_sum = jnp.sum(ns, axis=1)                       # (b,)
+    norm = -jnp.log(ms + ns_sum)                       # (b,)
+    log_nu = jnp.concatenate(
+        [jnp.log(ns) + norm[:, None],
+         (jnp.log(ms) + norm)[:, None]], axis=1)        # (b, n)
+    log_mu = jnp.concatenate(
+        [jnp.broadcast_to(norm[:, None], (b, m - 1)),
+         (jnp.log(ns_sum) + norm)[:, None]], axis=1)    # (b, m)
+
+    Z = log_sinkhorn(scores, log_mu, log_nu, iters)
+    return Z - norm[:, None, None]
