@@ -1,0 +1,177 @@
+"""PATS cascade orchestrator: coarse -> subdivide -> fine -> refine -> compose.
+
+Re-implements reference models/pats.py:10-119 TPU-first.  Design inversions
+vs the reference (SURVEY.md par.7):
+
+- The dynamic boolean filtering of patches (pats.py:40-56), the host-side
+  ``split_patches`` work cycles (utils/utils.py:152-181) and the serial
+  native crop loop all become ONE fixed-capacity masked batch: every coarse
+  grid slot flows through levels 2/3 carrying an ``alive`` mask, and the
+  level-3 points are compacted to the static capacity 16*G (the merge emits
+  at most one claim per global 8-px cell slot, so no work is dropped).
+- The f64 ``scores_refine_iter`` carry (pats.py:32) disappears: with a
+  single global batch the merge sees every patch's trust scores at once,
+  which is exactly the reference semantics when all patches fit one cycle.
+- No early exits: a pair with zero coarse matches simply produces an
+  all-False validity mask through the same compiled graph.
+
+The output is a fixed-size (G*2304, 2) correspondence array + validity
+mask; host code compacts it after the device step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pats_tpu.config import ModelConfig
+from pats_tpu.models.coarse import CoarseMatcher
+from pats_tpu.models.fine import FineMatcher
+from pats_tpu.models.refine import SubpixelRefiner
+from pats_tpu.ops.compose import compose_matches
+from pats_tpu.ops.extract import extract_patch_neighborhoods
+from pats_tpu.ops.resize import crop_resize_batch
+
+_MARGIN = 128  # right-image pad before cropping (utils/utils.py:1343)
+
+# indoor mode keeps only sub-points (1,1),(1,3),(3,1),(3,3) of the 4x4
+# (third_layer.py:162-166)
+_INDOOR_SUBPOINTS = (5, 7, 13, 15)
+
+
+def _subdivide(pts, x_scale, y_scale, H, W, patch=32):
+    """Crop-box computation of Compute_imgs (utils/utils.py:1350-1382).
+
+    Returns (boxes_int (G,4) in padded coords, crop_scale (G,),
+    center_px (G,2) row/col in unpadded pixels).
+    """
+    m = float(_MARGIN)
+    b0 = (pts[:, 0] - y_scale * 1.5) * patch + m
+    b1 = (pts[:, 0] + y_scale * 1.5) * patch + m
+    b2 = (pts[:, 1] - x_scale * 1.5) * patch + m
+    b3 = (pts[:, 1] + x_scale * 1.5) * patch + m
+    zero = jnp.float32(0.0)
+    b0 = jnp.where(b0 >= 0, b0, zero)
+    b1 = jnp.where(b1 >= 0, b1, zero)
+    b2 = jnp.where(b2 >= 0, b2, zero)
+    b3 = jnp.where(b3 >= 0, b3, zero)
+    b1 = jnp.where(b1 < H + 2 * m, b1, jnp.float32(H - 1))
+    b3 = jnp.where(b3 < W + 2 * m, b3, jnp.float32(W))
+    # crop scale from the FLOAT row bounds (utils/utils.py:1367; the
+    # reference uses the row-derived scale for both axes downstream)
+    crop_scale = (b1 - b0 + 1.0) / 96.0
+    boxes = jnp.stack([b0, b1, b2, b3], axis=-1).astype(jnp.int32)
+    bf = boxes.astype(jnp.float32)
+    center = jnp.stack([(bf[:, 0] + bf[:, 1]) / 2.0 - m + 0.5,
+                        (bf[:, 2] + bf[:, 3]) / 2.0 - m + 0.5], axis=-1)
+    return boxes, crop_scale, center
+
+
+class PATSCascade(nn.Module):
+    """Full three-level matcher for one image pair."""
+
+    config: ModelConfig
+    outdoor: bool = True
+    merge_new: bool = True
+
+    @nn.compact
+    def __call__(self, left: jnp.ndarray, right: jnp.ndarray):
+        """Args: left/right (H, W, 3) raw-valued float images (0..255),
+        H and W multiples of 32.
+
+        Returns dict with fixed-shape arrays:
+          matches_l / matches_r: (G*2304, 2) (row, col) pixel coordinates
+          valid: (G*2304,) survival mask
+        """
+        cfg = self.config
+        H, W = left.shape[:2]
+        gh, gw = H // 32, W // 32
+        G = gh * gw
+        dtype = jnp.bfloat16 if cfg.use_bfloat16 else None
+
+        c = cfg.coarse
+        r1 = CoarseMatcher(
+            descriptor_dim=c.descriptor_dim, gnn_layers=c.gnn_layers,
+            num_heads=c.num_heads, sinkhorn_iterations=c.sinkhorn_iterations,
+            score_temperature=c.score_temperature,
+            expand_iters=c.expand_iters,
+            expand_lower_bound=c.expand_lower_bound,
+            dtype=dtype, name="coarse")(left, right)
+
+        boxes, crop_scale, center = _subdivide(
+            r1["pts"], r1["x_scale"], r1["y_scale"], H, W)
+        right_pad = jnp.pad(right, ((_MARGIN, _MARGIN), (_MARGIN, _MARGIN),
+                                    (0, 0)))
+        right_crops = crop_resize_batch(right_pad, boxes, out_size=96)
+        left_crops = extract_patch_neighborhoods(left, patch=32)
+
+        f = cfg.fine
+        r2 = FineMatcher(
+            descriptor_dim=f.descriptor_dim, title_dim=f.title_dim,
+            gnn_layers=f.gnn_layers, num_heads=f.num_heads,
+            sinkhorn_iterations=f.sinkhorn_iterations,
+            score_temperature=f.score_temperature,
+            expand_iters=f.expand_iters,
+            expand_lower_bound=f.expand_lower_bound,
+            dtype=dtype, name="fine")(
+            left_crops, right_crops, r1["desc0"], r1["alive"],
+            gh, gw, self.outdoor, self.merge_new)
+
+        # ---- compact alive cells to the static level-3 capacity 16*G ----
+        K3 = 16 * G
+        flat_alive = r2["cell_alive"].reshape(G * 144)
+        order = jnp.argsort(jnp.logical_not(flat_alive).astype(jnp.int32),
+                            stable=True)[:K3]
+        point_pid = (order // 144).astype(jnp.int32)
+        point_cell = (order % 144).astype(jnp.int32)
+        point_tgt = r2["pts"].reshape(G * 144, 2)[order]
+        point_valid = flat_alive[order]
+
+        rcfg = cfg.refine
+        r3 = SubpixelRefiner(
+            descriptor_dim=rcfg.descriptor_dim, gnn_layers=rcfg.gnn_layers,
+            num_heads=rcfg.num_heads,
+            sinkhorn_iterations=rcfg.sinkhorn_iterations,
+            score_temperature=rcfg.score_temperature,
+            window=rcfg.window, padded_map=rcfg.padded_map,
+            neighborhood=rcfg.neighborhood,
+            use_running_average=not cfg.refine_batch_stats,
+            dtype=dtype, name="refine")(
+            left_crops, right_crops, r2["tokens0"], r2["tokens1"],
+            point_pid, point_cell, point_tgt, point_valid, r1["alive"])
+
+        if self.outdoor:
+            valid16 = r3["valid16"] & point_valid[:, None]
+        else:
+            keep = jnp.zeros((16,), bool).at[jnp.asarray(_INDOOR_SUBPOINTS)
+                                             ].set(True)
+            valid16 = keep[None, :] & point_valid[:, None]
+
+        # refined right positions (x, y crop px) -> (row, col) in 2-px units
+        refined = jnp.stack([r3["mkpts1"][..., 1], r3["mkpts1"][..., 0]],
+                            axis=-1) / 2.0                     # (K3, 16, 2)
+
+        # ---- scatter back to the (G, 144, 16) grid and reorder to 48x48 ----
+        full_pts = jnp.zeros((G * 144, 16, 2), refined.dtype)
+        full_pts = full_pts.at[order].set(refined)
+        full_valid = jnp.zeros((G * 144, 16), bool)
+        full_valid = full_valid.at[order].set(valid16)
+
+        # (G, 144, 16, ...) -> (G, 48, 48, ...): cell (i12, j12), sub-point
+        # (i4, j4) -> row i12*4+i4, col j12*4+j4 (models/pats.py:70-71)
+        full_pts = full_pts.reshape(G, 12, 12, 4, 4, 2).transpose(
+            0, 1, 3, 2, 4, 5).reshape(G, 48, 48, 2)
+        full_valid = full_valid.reshape(G, 12, 12, 4, 4).transpose(
+            0, 1, 3, 2, 4).reshape(G, 48, 48)
+
+        matches_l, matches_r, valid = compose_matches(
+            center, crop_scale, full_pts, full_valid, gh, gw, patch=32)
+
+        return {
+            "matches_l": matches_l,
+            "matches_r": matches_r,
+            "valid": valid,
+            "num_coarse": jnp.sum(r1["alive"].astype(jnp.int32)),
+        }

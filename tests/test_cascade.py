@@ -1,0 +1,65 @@
+"""End-to-end cascade smoke + structural tests (random weights).
+
+Without the trained reference checkpoints, these validate the pipeline's
+shape discipline, mask propagation and numeric sanity; accuracy parity is
+checked by the converted-checkpoint AUC harness (pats_tpu/evaluate.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pats_tpu.config import ModelConfig, CoarseConfig, FineConfig, RefineConfig
+from pats_tpu.models.cascade import PATSCascade
+
+
+def tiny_config(**kw):
+    # shrink iteration-heavy knobs so the CPU test stays fast
+    return ModelConfig(
+        coarse=CoarseConfig(gnn_layers=2, sinkhorn_iterations=10,
+                            expand_iters=4),
+        fine=FineConfig(gnn_layers=2, sinkhorn_iterations=10, expand_iters=4),
+        refine=RefineConfig(gnn_layers=2, sinkhorn_iterations=10),
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("outdoor", [True, False])
+def test_cascade_forward(rng, outdoor):
+    H, W = 96, 128
+    cfg = tiny_config()
+    model = PATSCascade(config=cfg, outdoor=outdoor, merge_new=outdoor)
+    left = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    out, _ = model.apply(variables, left, right, mutable=["batch_stats"])
+    G = (H // 32) * (W // 32)
+    assert out["matches_l"].shape == (G * 2304, 2)
+    assert out["matches_r"].shape == (G * 2304, 2)
+    assert out["valid"].shape == (G * 2304,)
+    ml = np.asarray(out["matches_l"])
+    mr = np.asarray(out["matches_r"])
+    v = np.asarray(out["valid"])
+    assert np.all(np.isfinite(ml)) and np.all(np.isfinite(mr[v]))
+    if v.any():
+        # left points of valid matches must lie in the crop's 3x3 extent
+        assert ml[v, 0].min() >= -32 and ml[v, 0].max() < H + 32
+
+
+def test_cascade_jit_compiles(rng):
+    H, W = 96, 96
+    cfg = tiny_config()
+    model = PATSCascade(config=cfg, outdoor=True, merge_new=True)
+    left = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+    right = left
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+
+    @jax.jit
+    def fwd(v, a, b):
+        return model.apply(v, a, b, mutable=["batch_stats"])[0]
+
+    out = fwd(variables, left, right)
+    out2 = fwd(variables, left, right)
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(out2["valid"]))
