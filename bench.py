@@ -1,0 +1,89 @@
+"""Benchmark: matched image pairs per second on one TPU chip.
+
+Runs the full three-level cascade forward at the reference's standard eval
+resolution (640x480, the MegaDepth/ScanNet protocol) and reports
+throughput.  The reference publishes no speed numbers (BASELINE.md), so
+``vs_baseline`` is reported against the first recorded value of this
+framework (stored in bench_baseline.json on first run).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 480, 640
+WARMUP = 2
+ITERS = 10
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def main():
+    from pats_tpu.config import PATSConfig
+    from pats_tpu.models.cascade import PATSCascade
+
+    cfg = PATSConfig()
+    model = PATSCascade(config=cfg.model, outdoor=True, merge_new=True)
+
+    rng = np.random.default_rng(18027)
+    left = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+
+    t0 = time.time()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), left, right)
+    init_s = time.time() - t0
+
+    @jax.jit
+    def fwd(variables, left, right):
+        out, _ = model.apply(variables, left, right, mutable=["batch_stats"])
+        return out["matches_l"], out["matches_r"], out["valid"]
+
+    t0 = time.time()
+    jax.block_until_ready(fwd(variables, left, right))
+    compile_s = time.time() - t0
+
+    for _ in range(WARMUP):
+        np.asarray(fwd(variables, left, right)[2])
+
+    # per-iteration host sync: async dispatch through the TPU tunnel makes
+    # block_until_ready on the last handle unreliable for timing
+    t0 = time.time()
+    for _ in range(ITERS):
+        ml, mr, valid = fwd(variables, left, right)
+        np.asarray(valid)
+    elapsed = time.time() - t0
+    pairs_per_s = ITERS / elapsed
+
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)["value"]
+    else:
+        base = pairs_per_s
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "pairs_per_s_640x480",
+                       "value": pairs_per_s,
+                       "device": str(jax.devices()[0])}, f)
+
+    result = {
+        "metric": "pairs_per_s_640x480",
+        "value": round(pairs_per_s, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / base, 4),
+        "step_ms": round(1000 * elapsed / ITERS, 2),
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

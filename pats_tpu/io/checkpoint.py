@@ -1,0 +1,35 @@
+"""Orbax checkpointing of the full variable tree.
+
+The reference only ever loads three separate torch files with prefix
+munging (models/pats.py:88-109) and cannot save.  Here a single pytree
+(params + batch_stats, optionally optimizer state) round-trips through
+orbax; ``convert`` (pats_tpu.io.convert) produces the same tree from the
+published torch checkpoints once, after which everything is orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
+            return ckptr.restore(path, abstract)
+        return ckptr.restore(path)

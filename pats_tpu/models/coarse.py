@@ -57,12 +57,14 @@ class CoarseMatcher(nn.Module):
     expand_iters: int = 15
     expand_lower_bound: float = 1e-5
     use_running_average: bool = True
+    deterministic: bool = True     # trunk dropout off (inference)
     dtype: Optional[jnp.dtype] = None
 
     def _descriptors(self, pair: jnp.ndarray) -> jnp.ndarray:
         """(2, H, W, 3) normalized pair -> (2, h, w, 448) descriptors."""
         H, W = pair.shape[1:3]
         trunk = CoarseTrunk(use_running_average=self.use_running_average,
+                            deterministic=self.deterministic,
                             dtype=self.dtype, name="trunk")
         d0 = trunk(pair)                                           # (2,h,w,512)
         p1 = resize_bilinear_half_pixel(pair, (H // 2, W // 2), 1, 2)

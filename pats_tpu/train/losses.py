@@ -1,0 +1,135 @@
+"""Training losses for the patch-area transport levels.
+
+Cleaned-up implementation of the reference training recipe, whose loss code
+survives only as drifted dead code (utils/utils.py:1438-1762; SURVEY.md
+par.2.3).  The semantics captured per level:
+
+- ``matching_nll``     <- loss_function_matches (utils.py:1438-1448):
+  negative log transport score of the GT target cell for positive patches
+  whose argmax is wrong.
+- ``position_loss``    <- Position_loss (utils.py:1460-1481): squared
+  distance between the expansion soft-argmax and the GT position, with x2
+  emphasis multipliers as the error drops below 1 / 0.5 / 0.25 cells,
+  gated to patches whose argmax lies within 1 cell of the GT.
+- ``dustbin_losses``   <- nomatching/mismatching terms
+  (utils.py:1572-1579): pull dustbin mass up for GT-negative patches the
+  model matched, and down for GT-positive patches the model dustbinned.
+- trust terms: the expansion whole/core costs averaged over confidently
+  positive patches (utils.py:1590-1591).
+- ``sampson_epipolar`` <- Epipolar_loss (utils.py:1498-1525): clamped,
+  proximity-weighted Sampson error for (semi-)supervised refinement.
+
+Labels per patch: ``gt_pos`` (target position in target-grid units; any
+negative component = invalid) and ``gt_class`` in {-1 negative (no true
+match), 0 unknown, +1 positive}.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pats_tpu.ops.expand import ExpandResult
+
+
+class LevelLabels(NamedTuple):
+    gt_pos: jnp.ndarray     # (B, M, 2) float (row, col) in target-grid units
+    gt_class: jnp.ndarray   # (B, M) int32: -1 negative / 0 unknown / +1 positive
+
+
+def matching_nll(plan: jnp.ndarray, labels: LevelLabels, height: int,
+                 width: int) -> jnp.ndarray:
+    """-log transport score of the GT cell where the argmax is wrong."""
+    B, M1, N1 = plan.shape
+    M, N = M1 - 1, N1 - 1
+    positive = labels.gt_class > 0
+    cell = (jnp.floor(labels.gt_pos[..., 0]).astype(jnp.int32) * width
+            + jnp.floor(labels.gt_pos[..., 1]).astype(jnp.int32))
+    cell = jnp.clip(cell, 0, N - 1)
+    max0 = jnp.argmax(plan[:, :-1, :-1], axis=2)
+    gt_score = jnp.take_along_axis(plan[:, :-1, :], cell[..., None],
+                                   axis=2)[..., 0]
+    wrong = positive & (max0 != cell)
+    denom = jnp.sum(positive.astype(jnp.float32)) + 1e-7
+    return jnp.sum(jnp.where(wrong, -gt_score, 0.0)) / denom
+
+
+def position_loss(res: ExpandResult, plan: jnp.ndarray, labels: LevelLabels,
+                  height: int, width: int, weight: float = 5.0
+                  ) -> jnp.ndarray:
+    """Proximity-emphasized squared soft-argmax error."""
+    positive = labels.gt_class > 0
+    max0 = jnp.argmax(plan[:, :-1, :-1], axis=2)
+    max_r = (max0 // width).astype(jnp.float32)
+    max_c = (max0 % width).astype(jnp.float32)
+    gt = labels.gt_pos
+    near = ((jnp.abs(jnp.floor(gt[..., 0]) - max_r) <= 1)
+            & (jnp.abs(jnp.floor(gt[..., 1]) - max_c) <= 1))
+    gate = positive & near & jnp.logical_not(res.if_nomatching)
+    d2 = jnp.sum(jnp.square(res.average_point - gt), axis=-1)
+    err = jnp.sqrt(d2 + 1e-12)
+    d2 = jnp.where(err < 1.0, d2 * 2, d2)
+    d2 = jnp.where(err < 0.5, d2 * 2, d2)
+    d2 = jnp.where(err < 0.25, d2 * 2, d2)
+    denom = jnp.sum(gate.astype(jnp.float32)) + 1e-7
+    return (weight ** 2) * jnp.sum(jnp.where(gate, d2, 0.0)) / denom
+
+
+def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels
+                   ) -> jnp.ndarray:
+    """Push negative patches into the dustbin, positives out of it."""
+    dustbin = plan[:, :-1, -1]           # log dustbin score per source
+    negative = labels.gt_class < 0
+    positive = labels.gt_class > 0
+    matched = jnp.logical_not(res.if_nomatching)
+    n_neg = jnp.sum(negative.astype(jnp.float32)) + 10.0
+    n_pos = jnp.sum(positive.astype(jnp.float32)) + 10.0
+    nomatching = jnp.sum(jnp.where(negative & matched, -dustbin, 0.0)) / n_neg
+    mismatching = jnp.sum(
+        jnp.where(positive & res.if_nomatching, dustbin, 0.0)) / n_pos
+    return nomatching + 5.0 * mismatching
+
+
+def trust_loss(res: ExpandResult, labels: LevelLabels) -> jnp.ndarray:
+    """Expansion whole/core costs over confidently positive patches."""
+    positive = labels.gt_class > 0
+    err = jnp.sqrt(jnp.sum(jnp.square(res.average_point - labels.gt_pos),
+                           axis=-1) + 1e-12)
+    gate = positive & (err < 1.0)
+    denom = jnp.sum(gate.astype(jnp.float32)) + 1e-7
+    whole = jnp.sum(jnp.where(gate, res.whole_cost, 0.0)) / denom
+    core = jnp.sum(jnp.where(gate, res.core_cost, 0.0)) / denom
+    return whole + core
+
+
+def sampson_epipolar(F: jnp.ndarray, src_pts: jnp.ndarray,
+                     dst_pts: jnp.ndarray, valid: jnp.ndarray,
+                     point_scale: float = 32.0) -> jnp.ndarray:
+    """Clamped, proximity-weighted Sampson error (utils.py:1498-1525).
+
+    Args: F (B, 3, 3); src_pts/dst_pts (B, M, 2) pixel (x, y); valid (B, M).
+    """
+    ones = jnp.ones(src_pts.shape[:-1] + (1,), src_pts.dtype)
+    p0 = jnp.concatenate([src_pts, ones], axis=-1)
+    p1 = jnp.concatenate([dst_pts, ones], axis=-1)
+    Fp0 = jnp.einsum("bij,bmj->bmi", F, p0)
+    num = jnp.abs(jnp.einsum("bmi,bmi->bm", p1, Fp0))
+    den = jnp.sum(jnp.square(Fp0[..., :2]), axis=-1)
+    sampson = num ** 2 / (den + 1e-7)
+    dist = num / (jnp.sqrt(den) + 1e-7)
+    sampson = jnp.minimum(sampson, point_scale ** 2)
+    sampson = jnp.where(dist < point_scale / 2, sampson * 2, sampson)
+    sampson = jnp.where(dist < point_scale / 4, sampson * 2, sampson)
+    denom = jnp.sum(valid.astype(jnp.float32)) + 1e-8
+    return jnp.sum(jnp.where(valid, sampson, 0.0)) / denom
+
+
+def transport_level_loss(plan: jnp.ndarray, res: ExpandResult,
+                         labels: LevelLabels, height: int, width: int,
+                         weight_position: float = 5.0) -> jnp.ndarray:
+    """Combined per-level loss ('distance' recipe, utils.py:1562-1591)."""
+    return (matching_nll(plan, labels, height, width)
+            + position_loss(res, plan, labels, height, width, weight_position)
+            + dustbin_losses(plan, res, labels)
+            + trust_loss(res, labels))

@@ -1,0 +1,109 @@
+"""Relative-pose evaluation: RANSAC essential matrix + pose AUC.
+
+Implements the reference measurement protocol (utils/metrics.py:21-96):
+(row, col) keypoints are flipped to (x, y), normalized by the intrinsics,
+an essential matrix is estimated with OpenCV RANSAC at threshold
+``threshold / f_mean`` and confidence 1-1e-5, the pose is recovered from
+the best candidate, and errors are angular distances (with the 180deg
+translation ambiguity fold).  AUC integrates the recall curve at
+5/10/20 degrees.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def scale_intrinsics(K: np.ndarray, scales) -> np.ndarray:
+    s = np.diag([1.0 / scales[0], 1.0 / scales[1], 1.0])
+    return s @ K
+
+
+def angle_error_mat(R1: np.ndarray, R2: np.ndarray) -> float:
+    cos = (np.trace(R1.T @ R2) - 1) / 2
+    return float(np.rad2deg(np.abs(np.arccos(np.clip(cos, -1.0, 1.0)))))
+
+
+def angle_error_vec(v1: np.ndarray, v2: np.ndarray) -> float:
+    n = np.linalg.norm(v1) * np.linalg.norm(v2)
+    return float(np.rad2deg(np.arccos(np.clip(np.dot(v1, v2) / n, -1.0, 1.0))))
+
+
+def compute_pose_error(kp1: np.ndarray, kp2: np.ndarray,
+                       K1: np.ndarray, K2: np.ndarray,
+                       T1: np.ndarray, T2: np.ndarray,
+                       scale_factor: float = 1.0,
+                       threshold: float = 0.25) -> Tuple[float, float]:
+    """(rotation error deg, translation error deg); (inf, inf) with <15
+    matches.  kp1/kp2 are (N, 2) in (row, col) order."""
+    import cv2
+
+    if kp1.shape[0] < 15:
+        return np.inf, np.inf
+
+    kp1 = kp1[:, [1, 0]].astype(np.float64)
+    kp2 = kp2[:, [1, 0]].astype(np.float64)
+    K1 = np.array(K1, dtype=np.float64)
+    K2 = np.array(K2, dtype=np.float64)
+
+    K2 = scale_intrinsics(K2, [1.0 / scale_factor, 1.0 / scale_factor])
+    if scale_factor > 1.0:
+        K1[:2, 2] += np.asarray([int((scale_factor - 1) * 320),
+                                 int((scale_factor - 1) * 240)])
+    else:
+        K2[:2, 2] += np.asarray([int((1 - scale_factor) * 320),
+                                 int((1 - scale_factor) * 240)])
+
+    relative = np.asarray(T2, np.float64) @ np.linalg.inv(
+        np.asarray(T1, np.float64))
+
+    f_mean = np.mean([K1[0, 0], K2[1, 1], K1[0, 0], K2[1, 1]])
+    norm_thresh = threshold / f_mean
+
+    kp1 = (kp1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
+    kp2 = (kp2 - K2[[0, 1], [2, 2]][None]) / K2[[0, 1], [0, 1]][None]
+
+    E, mask = cv2.findEssentialMat(kp1, kp2, np.eye(3),
+                                   threshold=norm_thresh, prob=1 - 1e-5,
+                                   method=cv2.RANSAC)
+    if E is None:
+        return np.inf, np.inf
+
+    best = None
+    best_inliers = 0
+    for sub in np.split(E, len(E) / 3):
+        n, R, t, _ = cv2.recoverPose(sub, kp1, kp2, np.eye(3), 1e9, mask=mask)
+        if n > best_inliers:
+            best_inliers = n
+            best = (R, t[:, 0])
+    if best is None:
+        return np.inf, np.inf
+    R, t = best
+
+    R_gt = relative[:3, :3]
+    t_gt = relative[:3, 3]
+    err_t = angle_error_vec(t, t_gt)
+    err_t = min(err_t, 180 - err_t)   # E-matrix sign ambiguity
+    err_R = angle_error_mat(R, R_gt)
+    return err_R, err_t
+
+
+def error_auc(errors, thresholds=(5, 10, 20)) -> Dict[str, float]:
+    errors = [0] + sorted(float(e) for e in errors)
+    recall = list(np.linspace(0, 1, len(errors)))
+    aucs = {}
+    for thr in thresholds:
+        last = np.searchsorted(errors, thr)
+        y = recall[:last] + [recall[last - 1]]
+        x = errors[:last] + [thr]
+        aucs[f"auc@{thr}"] = float(np.trapezoid(y, x) / thr)
+    return aucs
+
+
+def aggregate_metrics(error_R: List[float], error_t: List[float]
+                      ) -> Dict[str, float]:
+    pose_errors = np.max(np.stack([np.asarray(error_R),
+                                   np.asarray(error_t)]), axis=0)
+    return error_auc(pose_errors)
