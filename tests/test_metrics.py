@@ -1,0 +1,74 @@
+"""Pose-metric tests with synthetic geometry: project random 3D points
+through two known cameras and verify the estimated relative pose error is
+near zero, and that AUC aggregation behaves."""
+
+import numpy as np
+
+from pats_tpu.utils.metrics import (
+    aggregate_metrics,
+    compute_pose_error,
+    error_auc,
+)
+from pats_tpu.train.labels import make_pair_labels, to_level_labels
+
+
+def _synthetic_pair(rng, n=200):
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    pts = rng.uniform([-2, -2, 4], [2, 2, 8], size=(n, 3))
+    R, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    # small rotation: blend with identity
+    R = np.eye(3) + 0.2 * (R - np.eye(3))
+    U, _, Vt = np.linalg.svd(R)
+    R = U @ Vt
+    t = np.array([0.5, 0.1, 0.05])
+    T0 = np.eye(4)
+    T1 = np.eye(4)
+    T1[:3, :3] = R
+    T1[:3, 3] = t
+
+    def project(T):
+        p = (T[:3, :3] @ pts.T + T[:3, 3:4]).T
+        uv = (K @ p.T).T
+        return uv[:, :2] / uv[:, 2:3]
+
+    kp0 = project(T0)
+    kp1 = project(T1)
+    return kp0[:, [1, 0]], kp1[:, [1, 0]], K, T0, T1   # (row, col)
+
+
+def test_pose_error_perfect_matches(rng):
+    kp0, kp1, K, T0, T1 = _synthetic_pair(rng)
+    err_R, err_t = compute_pose_error(kp0, kp1, K, K, T0, T1)
+    assert err_R < 0.5 and err_t < 2.0, (err_R, err_t)
+
+
+def test_pose_error_too_few_matches(rng):
+    kp0, kp1, K, T0, T1 = _synthetic_pair(rng, n=10)
+    assert compute_pose_error(kp0, kp1, K, K, T0, T1) == (np.inf, np.inf)
+
+
+def test_error_auc_extremes():
+    perfect = error_auc([0.01] * 100)
+    assert perfect["auc@5"] > 0.95
+    terrible = error_auc([90.0] * 100)
+    assert terrible["auc@5"] < 0.05
+    agg = aggregate_metrics([1.0, 100.0], [2.0, 1.0])
+    assert 0 < agg["auc@20"] < 1
+
+
+def test_depth_labels_identity(rng):
+    """Identity pose + constant depth: every patch projects onto itself."""
+    K = np.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]])
+    depth = np.full((128, 128), 5.0)
+    out = make_pair_labels(K, K, depth, depth, np.eye(4), np.eye(4))
+    lab32 = out["labels"][0]          # patch 32 -> 4x4 patches
+    assert lab32.shape == (16, 3)
+    xs = np.arange(4) * 32 + 16
+    want = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1)[..., ::-1]
+    np.testing.assert_allclose(lab32[:, :2], want.reshape(16, 2), atol=1e-6)
+    np.testing.assert_allclose(lab32[:, 2], 1.0)
+    pos, cls = to_level_labels(lab32, 32)
+    assert (cls == 1).all()
+    np.testing.assert_allclose(pos[:, 0] * 32, want.reshape(16, 2)[:, 1])
