@@ -42,24 +42,29 @@ def main():
     init_s = time.time() - t0
 
     @jax.jit
-    def fwd(variables, left, right):
-        out, _ = model.apply(variables, left, right, mutable=["batch_stats"])
+    def fwd(variables, left, right, perturb):
+        out, _ = model.apply(variables, left, right + perturb,
+                             mutable=["batch_stats"])
         return out["matches_l"], out["matches_r"], out["valid"]
 
     t0 = time.time()
-    jax.block_until_ready(fwd(variables, left, right))
+    np.asarray(fwd(variables, left, right, jnp.float32(0.0))[2])
     compile_s = time.time() - t0
 
-    for _ in range(WARMUP):
-        np.asarray(fwd(variables, left, right)[2])
+    # dependency-chained executions with ONE final host fetch: the TPU
+    # tunnel has large variable round-trip latency, so per-call syncs
+    # overstate latency while un-chained async dispatch understates it
+    def chained(iters):
+        p = jnp.float32(0.0)
+        t0 = time.time()
+        for _ in range(iters):
+            ml, mr, valid = fwd(variables, left, right, p)
+            p = mr[0, 0] * 1e-30
+        np.asarray(p)
+        return time.time() - t0
 
-    # per-iteration host sync: async dispatch through the TPU tunnel makes
-    # block_until_ready on the last handle unreliable for timing
-    t0 = time.time()
-    for _ in range(ITERS):
-        ml, mr, valid = fwd(variables, left, right)
-        np.asarray(valid)
-    elapsed = time.time() - t0
+    chained(WARMUP)
+    elapsed = chained(ITERS)
     pairs_per_s = ITERS / elapsed
 
     if os.path.exists(BASELINE_FILE):

@@ -80,6 +80,8 @@ class ModelConfig:
     refine_batch_stats: bool = True
     # bf16 matmuls on the MXU (weights stay f32; numerics stay f32).
     use_bfloat16: bool = False
+    # Pallas fused attention for the short-sequence GNN levels (TPU only).
+    use_fused_attention: bool = False
 
 
 @dataclass(frozen=True)

@@ -107,14 +107,39 @@ class _Mapper:
     def kenc(self, tkey: str, n_layers: int, *path: str):
         self.mlp(f"{tkey}.encoder", n_layers, *path, "encoder")
 
-    def gnn(self, tkey: str, n_layers: int, *path: str):
+    def gnn(self, tkey: str, n_layers: int, *path: str, num_heads: int = 4):
+        """GNN layers with the head-split permutation folded into weights.
+
+        The reference splits attention channels head-MINOR (channel
+        c -> (dim c // H, head c % H), modules.py:102); the runtime uses
+        the MXU-friendly head-MAJOR split (c -> (head c // dh, dim c % dh)).
+        Permuting the projection output channels (and the merge input
+        channels) by old_channel = d * H + h for new channel h * dh + d
+        makes the two bit-equivalent.
+        """
+        # probe one projection to get d_model
+        w0 = _t(self.sd[f"{tkey}.layers.0.attn.proj.0.weight"])
+        d_model = w0.shape[0]
+        dh = d_model // num_heads
+        # perm[new] = old: new = h * dh + d  <-  old = d * H + h
+        new_idx = np.arange(d_model)
+        h, d = new_idx // dh, new_idx % dh
+        perm = d * num_heads + h
         for i in range(n_layers):
             lp = path + (f"layer_{i}",)
             for j, name in enumerate(["proj_q", "proj_k", "proj_v"]):
-                self.dense_from_conv(f"{tkey}.layers.{i}.attn.proj.{j}",
-                                     *lp, "attn", name)
-            self.dense_from_conv(f"{tkey}.layers.{i}.attn.merge",
-                                 *lp, "attn", "merge")
+                tk = f"{tkey}.layers.{i}.attn.proj.{j}"
+                w = self.get(f"{tk}.weight")
+                w = w.reshape(w.shape[0], w.shape[1]).T    # (in, out)
+                _set(self.params, lp + ("attn", name, "kernel"), w[:, perm])
+                _set(self.params, lp + ("attn", name, "bias"),
+                     self.get(f"{tk}.bias")[perm])
+            mk = f"{tkey}.layers.{i}.attn.merge"
+            w = self.get(f"{mk}.weight")
+            w = w.reshape(w.shape[0], w.shape[1]).T        # (in, out)
+            _set(self.params, lp + ("attn", "merge", "kernel"), w[perm, :])
+            _set(self.params, lp + ("attn", "merge", "bias"),
+                 self.get(f"{mk}.bias"))
             self.mlp(f"{tkey}.layers.{i}.mlp", 2, *lp, "mlp")
 
     def variables(self) -> Dict[str, Tree]:

@@ -98,6 +98,7 @@ class PATSCascade(nn.Module):
             score_temperature=c.score_temperature,
             expand_iters=c.expand_iters,
             expand_lower_bound=c.expand_lower_bound,
+            fused_attention=cfg.use_fused_attention,
             dtype=dtype, name="coarse")(left, right)
 
         boxes, crop_scale, center = _subdivide(
@@ -115,6 +116,7 @@ class PATSCascade(nn.Module):
             score_temperature=f.score_temperature,
             expand_iters=f.expand_iters,
             expand_lower_bound=f.expand_lower_bound,
+            fused_attention=cfg.use_fused_attention,
             dtype=dtype, name="fine")(
             left_crops, right_crops, r1["desc0"], r1["alive"],
             gh, gw, self.outdoor, self.merge_new)
@@ -137,6 +139,7 @@ class PATSCascade(nn.Module):
             score_temperature=rcfg.score_temperature,
             window=rcfg.window, padded_map=rcfg.padded_map,
             neighborhood=rcfg.neighborhood,
+            fused_attention=cfg.use_fused_attention,
             use_running_average=not cfg.refine_batch_stats,
             dtype=dtype, name="refine")(
             left_crops, right_crops, r2["tokens0"], r2["tokens1"],

@@ -56,6 +56,7 @@ class CoarseMatcher(nn.Module):
     score_temperature: float = 0.1
     expand_iters: int = 15
     expand_lower_bound: float = 1e-5
+    fused_attention: bool = False
     use_running_average: bool = True
     deterministic: bool = True     # trunk dropout off (inference)
     dtype: Optional[jnp.dtype] = None
@@ -109,6 +110,7 @@ class CoarseMatcher(nn.Module):
         tokens = desc.reshape(2, G, D) + kenc[None]
 
         gnn = AttentionalGNN(D, self.gnn_layers, self.num_heads,
+                             fused=self.fused_attention,
                              use_running_average=self.use_running_average,
                              dtype=self.dtype, name="gnn")
         desc0, desc1 = gnn(tokens[0], tokens[1])

@@ -51,6 +51,7 @@ class FineMatcher(nn.Module):
     score_temperature: float = 0.1
     expand_iters: int = 8
     expand_lower_bound: float = 1e-3
+    fused_attention: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -105,6 +106,7 @@ class FineMatcher(nn.Module):
             [tokens, jnp.tile(rubbish, (2, 1, 1))], axis=1)  # (2G, 145, 264)
 
         gnn = AttentionalGNN(D, self.gnn_layers, self.num_heads,
+                             fused=self.fused_attention,
                              use_running_average=self.use_running_average,
                              dtype=self.dtype, name="gnn")
         desc0, desc1 = gnn(tokens[:G], tokens[G:], patch_alive)

@@ -8,19 +8,19 @@ TPU-native re-design of reference models/modules.py:58-134:
 - ``AttentionalPropagation`` / ``AttentionalGNN`` <- same names
 
 Layout: tokens are (..., N, C) so every projection is a plain dense matmul
-on the MXU and attention is two batched einsums.  The reference's
-channel-first conv1d layout maps 1:1 (the converter transposes kernels).
-
-Head split convention: the reference splits the channel dim as
-(head_dim, num_heads) - channel c belongs to head c % num_heads
-(modules.py:102 ``view(b, self.dim, self.num_heads, -1)``).  Preserved here
-so converted weights are bit-compatible.
+on the MXU and attention is two batched einsums with head-major
+(..., N, H, head_dim) splits.  The reference splits channels head-MINOR
+(channel c -> head c % H, modules.py:102); the converter folds the channel
+permutation into the projection/merge kernels (io/convert.py) so converted
+weights remain bit-compatible while the runtime layout stays fast.
 
 Attention scores are scaled by sqrt(head_dim) (modules.py:84-86).
 
-All BatchNorms are MaskedBatchNorm so the level-3 batch-statistics mode
-(models/pats.py:112-118 quirk) can exclude dead fixed-capacity slots; the
-optional ``mask`` argument is a per-sample alive mask over the leading dims.
+Both images are processed as one stacked call per layer (2x the tokens per
+matmul); in batch-statistics mode (the level-3 BatchNorm quirk,
+models/pats.py:112-118) the image axis is a BN statistics GROUP so each
+image keeps its own statistics, exactly like the reference's two separate
+calls.
 """
 
 from __future__ import annotations
@@ -38,8 +38,8 @@ class MLPStack(nn.Module):
 
     Equivalent to reference MLP() (modules.py:58-69): per-token 1x1 convs.
     Input (..., N, C_in) -> (..., N, features[-1]).  BatchNorm normalizes
-    each channel over all leading/token dims, matching torch BatchNorm1d
-    on (B, C, N).
+    each channel over all leading/token dims (minus ``group_axes``),
+    matching torch BatchNorm1d on (B, C, N).
     """
 
     features: Sequence[int]
@@ -48,7 +48,8 @@ class MLPStack(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 group_axes: tuple = ()):
         n = len(self.features)
         for i, feat in enumerate(self.features):
             x = nn.Dense(feat, dtype=self.dtype, name=f"dense_{i}")(x)
@@ -56,7 +57,7 @@ class MLPStack(nn.Module):
                 if self.use_bn:
                     x = MaskedBatchNorm(
                         use_running_average=self.use_running_average,
-                        name=f"bn_{i}")(x, mask)
+                        name=f"bn_{i}")(x, mask, group_axes)
                 x = nn.relu(x)
         return x
 
@@ -84,10 +85,17 @@ class KeypointEncoder(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """Full softmax multi-head attention (modules.py:84-105)."""
+    """Full softmax multi-head attention (modules.py:84-105), head-major.
+
+    With ``fused=True`` and short token sequences, attention runs through
+    the Pallas fused kernel (ops/pallas/attention_kernel.py) that keeps the
+    probability tensor in VMEM - the levels-2/3 GNNs are otherwise bound on
+    HBM traffic for the (batch*heads, N, N) softmax intermediates.
+    """
 
     d_model: int
     num_heads: int = 4
+    fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -98,17 +106,33 @@ class MultiHeadAttention(nn.Module):
         k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(key)
         v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(value)
 
-        def split(x):
-            # channel c -> (head_dim index c // H, head index c % H), i.e.
-            # reshape (..., N, dh, H) to preserve the reference's split
-            return x.reshape(x.shape[:-1] + (dh, self.num_heads))
+        n = q.shape[-2]
+        lead = q.shape[:-2]
+        batch = 1
+        for s in lead:
+            batch *= s
+        if self.fused and n <= 256 and batch * self.num_heads >= 64:
+            from pats_tpu.ops.pallas.attention_kernel import fused_attention
 
-        q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("...ndh,...mdh->...hnm", q, k) / jnp.sqrt(
-            jnp.asarray(dh, q.dtype))
-        prob = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("...hnm,...mdh->...ndh", prob, v)
-        out = out.reshape(out.shape[:-2] + (self.d_model,))
+            def to_bh(x):
+                x = x.reshape((batch, n, self.num_heads, dh))
+                return x.transpose(0, 2, 1, 3).reshape(-1, n, dh)
+
+            block_b = 32 if n <= 80 else 8
+            out = fused_attention(to_bh(q), to_bh(k), to_bh(v),
+                                  1.0 / float(dh) ** 0.5, block_b=block_b)
+            out = out.reshape(batch, self.num_heads, n, dh)
+            out = out.transpose(0, 2, 1, 3).reshape(lead + (n, self.d_model))
+        else:
+            def split(x):
+                return x.reshape(x.shape[:-1] + (self.num_heads, dh))
+
+            qs, ks, vs = split(q), split(k), split(v)
+            scores = jnp.einsum("...nhd,...mhd->...hnm", qs, ks) / jnp.sqrt(
+                jnp.asarray(dh, qs.dtype))
+            prob = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("...hnm,...mhd->...nhd", prob, vs)
+            out = out.reshape(out.shape[:-2] + (self.d_model,))
         return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(out)
 
 
@@ -117,18 +141,21 @@ class AttentionalPropagation(nn.Module):
 
     d_model: int
     num_heads: int = 4
+    fused: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, source, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, source, mask: Optional[jnp.ndarray] = None,
+                 group_axes: tuple = ()):
         message = MultiHeadAttention(self.d_model, self.num_heads,
+                                     fused=self.fused,
                                      dtype=self.dtype, name="attn")(
             x, source, source)
         y = jnp.concatenate([x, message], axis=-1)
         return MLPStack((self.d_model * 2, self.d_model),
                         use_running_average=self.use_running_average,
-                        dtype=self.dtype, name="mlp")(y, mask)
+                        dtype=self.dtype, name="mlp")(y, mask, group_axes)
 
 
 class AttentionalGNN(nn.Module):
@@ -136,12 +163,14 @@ class AttentionalGNN(nn.Module):
 
     Equivalent to reference AttentionalGNN (modules.py:118-134) with layers
     ['self', 'cross'] * (num_layers // 2).  Each layer applies the SAME
-    weights to both images; residual update desc += delta.
+    weights to both images; residual update desc += delta.  Both images run
+    as one stacked call (axis 0) with per-image BN statistic groups.
     """
 
     d_model: int
     num_layers: int               # must be even (self/cross pairs)
     num_heads: int = 4
+    fused: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -150,17 +179,16 @@ class AttentionalGNN(nn.Module):
                  mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         assert self.num_layers % 2 == 0
+        x = jnp.stack([desc0, desc1], axis=0)           # (2, ..., N, C)
+        mask2 = None
+        if mask is not None:
+            mask2 = jnp.broadcast_to(mask[None], (2,) + mask.shape)
         for i in range(self.num_layers):
             is_cross = i % 2 == 1
             layer = AttentionalPropagation(
-                self.d_model, self.num_heads,
+                self.d_model, self.num_heads, fused=self.fused,
                 use_running_average=self.use_running_average,
                 dtype=self.dtype, name=f"layer_{i}")
-            src0, src1 = (desc1, desc0) if is_cross else (desc0, desc1)
-            # shared weights, two separate calls per image - matching the
-            # reference's per-image BatchNorm statistics in batch-stats mode
-            delta0 = layer(desc0, src0, mask)
-            delta1 = layer(desc1, src1, mask)
-            desc0 = desc0 + delta0
-            desc1 = desc1 + delta1
-        return desc0, desc1
+            src = jnp.flip(x, axis=0) if is_cross else x
+            x = x + layer(x, src, mask2, group_axes=(0,))
+        return x[0], x[1]

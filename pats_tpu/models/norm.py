@@ -37,7 +37,11 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 group_axes: tuple = ()):
+        """group_axes: leading axes whose indices keep SEPARATE statistics
+        (e.g. the image axis when both images of a pair are stacked but the
+        reference computes per-image BN statistics)."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -48,19 +52,20 @@ class MaskedBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            axes = tuple(range(x.ndim - 1))
+            axes = tuple(i for i in range(x.ndim - 1) if i not in group_axes)
             xf = x.astype(jnp.float32)
             if mask is None:
-                mean = jnp.mean(xf, axis=axes)
-                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                mean = jnp.mean(xf, axis=axes, keepdims=True)
+                var = (jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+                       - jnp.square(mean))
             else:
                 m = jnp.asarray(mask, jnp.float32)
                 m = m.reshape(m.shape + (1,) * (x.ndim - 1 - m.ndim))
                 w = jnp.broadcast_to(m, x.shape[:-1])[..., None]
-                denom = jnp.maximum(jnp.sum(w, axis=axes), 1.0)
-                mean = jnp.sum(xf * w, axis=axes) / denom
-                var = (jnp.sum(jnp.square(xf) * w, axis=axes) / denom
-                       - jnp.square(mean))
+                denom = jnp.maximum(jnp.sum(w, axis=axes, keepdims=True), 1.0)
+                mean = jnp.sum(xf * w, axis=axes, keepdims=True) / denom
+                var = (jnp.sum(jnp.square(xf) * w, axis=axes,
+                               keepdims=True) / denom - jnp.square(mean))
             # torch uses biased variance for normalization in train mode
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias

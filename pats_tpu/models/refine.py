@@ -44,6 +44,7 @@ class FPN82(nn.Module):
     LeakyReLU(0.01), align_corners=False x2 upsampling, zero pads +1/+2.
     """
 
+    fused_attention: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -188,6 +189,7 @@ class SubpixelRefiner(nn.Module):
         t1 = jnp.concatenate([f1, rub[:, None, :]], axis=1)
 
         gnn = AttentionalGNN(D, self.gnn_layers, self.num_heads,
+                             fused=self.fused_attention,
                              use_running_average=self.use_running_average,
                              dtype=self.dtype, name="gnn")
         t0, t1 = gnn(t0, t1, point_valid)

@@ -60,13 +60,21 @@ def _make_rect(satf: jnp.ndarray, h1: int, w1: int):
 
     ``satf`` has shape (..., h1*w1); index arrays broadcast against its
     leading dims (a (B, h1*w1) SAT works with (B, M) indices).
+
+    Lookups are one-hot contractions rather than gathers: XLA's TPU gather
+    for per-element dynamic indices is orders of magnitude slower than a
+    fused compare+select+reduce over the (small) SAT row.
     """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, h1 * w1), 1)
 
     def lookup(r, c):
         idx = jnp.clip(r, 0, h1 - 1) * w1 + jnp.clip(c, 0, w1 - 1)
-        if satf.ndim == idx.ndim + 1:     # per-(B, M) SAT
-            return jnp.take_along_axis(satf, idx[..., None], axis=-1)[..., 0]
-        return jnp.take_along_axis(satf, idx, axis=-1)  # shared (B,) SAT
+        onehot = idx[..., None] == iota                   # (..., h1*w1)
+        if satf.ndim == idx.ndim + 1:                     # per-(B, M) SAT
+            src = satf
+        else:                                             # shared (B,) SAT
+            src = satf[:, None, :]
+        return jnp.sum(jnp.where(onehot, src, 0.0), axis=-1)
 
     def rect(r0, r1, c0, c1):
         return (lookup(r1 + 1, c1 + 1) - lookup(r0, c1 + 1)

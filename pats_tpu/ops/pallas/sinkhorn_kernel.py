@@ -1,0 +1,91 @@
+"""Fused log-Sinkhorn Pallas kernel.
+
+The XLA fori_loop Sinkhorn re-reads the (B, m, n) coupling matrix from HBM
+for every logsumexp of every iteration (~65 GB of traffic for the level-3
+matrices at 100 iterations).  This kernel blocks over the batch axis and
+keeps each Z tile resident in VMEM for all iterations, reducing HBM
+traffic to one read + one write of Z.
+
+The caller pads the token dims to lane multiples with -1e30 scores (and
+-1e30 log marginals), which behaves as "no mass" without producing NaNs:
+padded logsumexp terms underflow to zero mass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(z_ref, mu_ref, nu_ref, out_ref, *, iters: int):
+    Z = z_ref[:]                      # (TB, m, n)
+    mu = mu_ref[:]                    # (TB, m)
+    nu = nu_ref[:]                    # (TB, n)
+
+    def lse(t, axis):
+        mx = jnp.max(t, axis=axis)
+        return jnp.log(jnp.sum(jnp.exp(t - jnp.expand_dims(mx, axis)),
+                               axis=axis)) + mx
+
+    def body(_, uv):
+        u, v = uv
+        u = mu - lse(Z + v[:, None, :], 2)
+        v = nu - lse(Z + u[:, :, None], 1)
+        return u, v
+
+    u0 = jnp.zeros_like(mu)
+    v0 = jnp.zeros_like(nu)
+    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+    out_ref[:] = Z + u[:, :, None] + v[:, None, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "block_b", "interpret"))
+def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
+                       log_nu: jnp.ndarray, iters: int,
+                       block_b: int = 128,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for ops.sinkhorn.log_sinkhorn on (B, m, n).
+
+    Pads m/n to lane-friendly sizes internally; returns the unpadded plan.
+    ``interpret=True`` runs the Pallas interpreter (for CPU tests).
+    """
+    B, m, n = Z.shape
+    mp = _round_up(m, 8)
+    np_ = _round_up(n, 128)
+    bp = _round_up(B, block_b)
+    Zp = jnp.full((bp, mp, np_), _NEG, jnp.float32)
+    Zp = Zp.at[:B, :m, :n].set(Z.astype(jnp.float32))
+    mup = jnp.full((bp, mp), _NEG, jnp.float32).at[:B, :m].set(
+        log_mu.astype(jnp.float32))
+    nup = jnp.full((bp, np_), _NEG, jnp.float32).at[:B, :n].set(
+        log_nu.astype(jnp.float32))
+
+    grid = (bp // block_b,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, iters=iters),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, mp, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, mp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, np_), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, mp, np_), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, mp, np_), jnp.float32),
+        interpret=interpret,
+    )(Zp, mup, nup)
+    return out[:B, :m, :n]

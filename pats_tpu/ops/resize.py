@@ -22,6 +22,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# re-exported for callers that need the lerp helpers
+__all__ = [
+    "resize_bilinear_align_corners",
+    "resize_bilinear_half_pixel",
+    "crop_resize_batch",
+    "avg_pool_2x2_pad",
+]
+
 
 def _align_corners_coords(out_size: int, in_size: int, dtype=jnp.float32):
     """Source sampling coordinates for align_corners=True resizing."""
@@ -97,13 +105,15 @@ def crop_resize_batch(image: jnp.ndarray, boxes: jnp.ndarray,
     Returns:
       (N, out_size, out_size, C) resampled crops.
 
-    TPU design: instead of a host loop over variable-size crops, sample
-    coordinates are computed per box (crop height = r1 - r0, width =
-    c1 - c0 + 1) and the values gathered from the full image with one fused
-    4-neighbor gather + lerp.  N is a static capacity; dead boxes simply
-    gather garbage that downstream masks ignore.
+    TPU design: instead of a host loop over variable-size crops (or slow
+    per-element gathers), the separable bilinear interpolation is expressed
+    as two batched matmuls with 2-nonzero-per-row sampling matrices - the
+    MXU eats this, and TPU gathers (orders of magnitude slower) are
+    avoided entirely.  N is a static capacity; dead boxes simply resample
+    garbage that downstream masks ignore.
     """
     H, W, C = image.shape
+    N = boxes.shape[0]
     r0 = boxes[:, 0].astype(jnp.float32)
     r1 = boxes[:, 1].astype(jnp.float32)
     c0 = boxes[:, 2].astype(jnp.float32)
@@ -117,28 +127,26 @@ def crop_resize_batch(image: jnp.ndarray, boxes: jnp.ndarray,
     rows = r0[:, None] + (crop_h[:, None] - 1.0) * t[None, :]   # (N, S)
     cols = c0[:, None] + (crop_w[:, None] - 1.0) * t[None, :]   # (N, S)
 
-    r_lo = jnp.clip(jnp.floor(rows), 0, H - 1)
-    c_lo = jnp.clip(jnp.floor(cols), 0, W - 1)
-    r_hi = jnp.clip(r_lo + 1, 0, H - 1)
-    c_hi = jnp.clip(c_lo + 1, 0, W - 1)
-    wr = jnp.clip(rows - r_lo, 0.0, 1.0)[:, :, None, None]      # (N, S, 1, 1)
-    wc = jnp.clip(cols - c_lo, 0.0, 1.0)[:, None, :, None]      # (N, 1, S, 1)
-    r_lo = r_lo.astype(jnp.int32)
-    r_hi = r_hi.astype(jnp.int32)
-    c_lo = c_lo.astype(jnp.int32)
-    c_hi = c_hi.astype(jnp.int32)
+    def sampling_matrix(coords, size):
+        lo = jnp.clip(jnp.floor(coords), 0, size - 1)
+        hi = jnp.clip(lo + 1, 0, size - 1)
+        w = jnp.clip(coords - lo, 0.0, 1.0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+        mat = (jnp.where(lo[..., None].astype(jnp.int32) == iota,
+                         (1.0 - w)[..., None], 0.0)
+               + jnp.where(hi[..., None].astype(jnp.int32) == iota,
+                           w[..., None], 0.0))
+        return mat                                              # (N, S, size)
 
-    flat = image.reshape(H * W, C)
-
-    def gather(r_idx, c_idx):
-        # (N, S, S) flat indices -> (N, S, S, C)
-        idx = r_idx[:, :, None] * W + c_idx[:, None, :]
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-            idx.shape[0], out_size, out_size, C)
-
-    top = gather(r_lo, c_lo) * (1 - wc) + gather(r_lo, c_hi) * wc
-    bot = gather(r_hi, c_lo) * (1 - wc) + gather(r_hi, c_hi) * wc
-    return top * (1 - wr) + bot * wr
+    rw = sampling_matrix(rows, H)                               # (N, S, H)
+    cw = sampling_matrix(cols, W)                               # (N, S, W)
+    # full-f32 contractions: the default TPU matmul precision (bf16
+    # multiplies) would lose image LSBs
+    tmp = jnp.einsum("ish,hwc->iswc", rw, image,
+                     precision=jax.lax.Precision.HIGHEST)       # (N, S, W, C)
+    out = jnp.einsum("iswc,ijw->isjc", tmp, cw,
+                     precision=jax.lax.Precision.HIGHEST)       # (N, S, S, C)
+    return out
 
 
 def avg_pool_2x2_pad(x: jnp.ndarray) -> jnp.ndarray:
