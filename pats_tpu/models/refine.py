@@ -44,7 +44,6 @@ class FPN82(nn.Module):
     LeakyReLU(0.01), align_corners=False x2 upsampling, zero pads +1/+2.
     """
 
-    fused_attention: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -93,6 +92,7 @@ class SubpixelRefiner(nn.Module):
     window: int = 8                # W
     padded_map: int = 52           # M
     neighborhood: int = 5          # T
+    fused_attention: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 

@@ -1,0 +1,75 @@
+"""Batched, data-parallel matching: B pairs per compiled step.
+
+The matching problem is embarrassingly parallel over image pairs
+(SURVEY.md par.2.7): this runner vmaps the cascade over a pair batch and
+shards the batch over the mesh's ``data`` axis.  On one chip it still
+pays off - batching fills the MXU far better than the reference's
+batch-1 loop ever could.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pats_tpu.config import PATSConfig
+from pats_tpu.models.cascade import PATSCascade
+
+
+class ShardedMatcher:
+    """Evaluate pairs in sharded batches of ``batch_size``."""
+
+    def __init__(self, config: PATSConfig, mesh: Mesh, variables,
+                 batch_size: Optional[int] = None):
+        self.config = config
+        self.mesh = mesh
+        self.variables = variables
+        data = mesh.shape[config.runtime.data_axis]
+        self.batch_size = batch_size or data
+        assert self.batch_size % data == 0, (self.batch_size, data)
+        self.model = PATSCascade(config=config.model,
+                                 outdoor=config.eval.if_outdoor,
+                                 merge_new=config.eval.merge_new)
+        self._fns: Dict[Tuple[int, int], object] = {}
+        self.batch_sharding = NamedSharding(mesh, P(config.runtime.data_axis))
+        self.replicated = NamedSharding(mesh, P())
+
+    def _fn(self, shape):
+        if shape not in self._fns:
+            def fwd(variables, left, right):
+                def one(a, b):
+                    out, _ = self.model.apply(variables, a, b,
+                                              mutable=["batch_stats"])
+                    return (out["matches_l"], out["matches_r"], out["valid"])
+
+                return jax.vmap(one)(left, right)
+
+            self._fns[shape] = jax.jit(
+                fwd,
+                in_shardings=(self.replicated, self.batch_sharding,
+                              self.batch_sharding),
+                out_shardings=self.replicated)
+        return self._fns[shape]
+
+    def match_batch(self, images0, images1
+                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """images0/images1: (B, H, W, 3) arrays (B <= batch_size; padded
+        internally).  Returns per-pair compacted (ml, mr) host arrays."""
+        B = len(images0)
+        BS = self.batch_size
+        left = np.zeros((BS,) + np.shape(images0[0]), np.float32)
+        right = np.zeros_like(left)
+        left[:B] = images0
+        right[:B] = images1
+        fn = self._fn(left.shape[1:3])
+        ml, mr, valid = fn(self.variables,
+                           jax.device_put(left, self.batch_sharding),
+                           jax.device_put(right, self.batch_sharding))
+        ml = np.asarray(ml)
+        mr = np.asarray(mr)
+        valid = np.asarray(valid)
+        return [(ml[i][valid[i]], mr[i][valid[i]]) for i in range(B)]
