@@ -1,71 +1,90 @@
 """Benchmark: matched image pairs per second on one TPU chip.
 
 Runs the full three-level cascade forward at the reference's standard eval
-resolution (640x480, the MegaDepth/ScanNet protocol) and reports
-throughput.  The reference publishes no speed numbers (BASELINE.md), so
-``vs_baseline`` is reported against the first recorded value of this
-framework (stored in bench_baseline.json on first run).
+resolution (640x480, the MegaDepth/ScanNet protocol) in the
+throughput-first configuration: bf16 MXU matmuls (transport/expansion
+numerics stay f32), the fused Pallas Sinkhorn, head-batched attention and
+a vmapped pair batch.  The reference publishes no speed numbers
+(BASELINE.md), so ``vs_baseline`` is reported against the first recorded
+value of this framework (bench_baseline.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing: dependency-chained executions with ONE final host fetch - the TPU
+tunnel has 30-135 ms round-trip latency and a broken block_until_ready, so
+both per-call syncs and un-chained async dispatch mis-measure.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import numpy as np
 
 H, W = 480, 640
-WARMUP = 2
-ITERS = 10
+BATCH = 4
+WARMUP = 1
+ITERS = 6
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
 def main():
-    from pats_tpu.config import PATSConfig
+    from pats_tpu.config import ModelConfig
     from pats_tpu.models.cascade import PATSCascade
 
-    cfg = PATSConfig()
-    model = PATSCascade(config=cfg.model, outdoor=True, merge_new=True)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    mc = dataclasses.replace(ModelConfig(), use_bfloat16=True,
+                             use_pallas_sinkhorn=on_tpu)
+    model = PATSCascade(config=mc, outdoor=True, merge_new=True)
 
     rng = np.random.default_rng(18027)
-    left = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
-    right = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+    left1 = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
 
     t0 = time.time()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), left, right)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), left1, left1)
     init_s = time.time() - t0
+
+    left = jnp.asarray(rng.uniform(0, 255, (BATCH, H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (BATCH, H, W, 3)), jnp.float32)
 
     @jax.jit
     def fwd(variables, left, right, perturb):
-        out, _ = model.apply(variables, left, right + perturb,
-                             mutable=["batch_stats"])
-        return out["matches_l"], out["matches_r"], out["valid"]
+        def one(a, b):
+            out, _ = model.apply(variables, a, b + perturb,
+                                 mutable=["batch_stats"])
+            return out["matches_r"], out["valid"]
+
+        mr, valid = jax.vmap(one)(left, right)
+        return mr[0, 0, 0], valid.sum()
 
     t0 = time.time()
-    np.asarray(fwd(variables, left, right, jnp.float32(0.0))[2])
+    s, nv = fwd(variables, left, right, jnp.float32(0.0))
+    np.asarray(s)
     compile_s = time.time() - t0
 
-    # dependency-chained executions with ONE final host fetch: the TPU
-    # tunnel has large variable round-trip latency, so per-call syncs
-    # overstate latency while un-chained async dispatch understates it
     def chained(iters):
         p = jnp.float32(0.0)
         t0 = time.time()
         for _ in range(iters):
-            ml, mr, valid = fwd(variables, left, right, p)
-            p = mr[0, 0] * 1e-30
+            s, _ = fwd(variables, left, right, p)
+            p = s * 1e-30
         np.asarray(p)
         return time.time() - t0
 
     chained(WARMUP)
     elapsed = chained(ITERS)
-    pairs_per_s = ITERS / elapsed
+    pairs_per_s = ITERS * BATCH / elapsed
 
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -82,6 +101,7 @@ def main():
         "value": round(pairs_per_s, 4),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / base, 4),
+        "batch": BATCH,
         "step_ms": round(1000 * elapsed / ITERS, 2),
         "compile_s": round(compile_s, 1),
         "init_s": round(init_s, 1),

@@ -82,6 +82,8 @@ class ModelConfig:
     use_bfloat16: bool = False
     # Pallas fused attention for the short-sequence GNN levels (TPU only).
     use_fused_attention: bool = False
+    # Pallas fused Sinkhorn for levels 2/3 (TPU only).
+    use_pallas_sinkhorn: bool = False
 
 
 @dataclass(frozen=True)

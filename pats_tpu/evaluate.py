@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import random
 import sys
 
@@ -41,17 +42,42 @@ def build_dataset(cfg: PATSConfig):
 
 
 def evaluate(matcher, dataset, scale_factor: float, threshold: float,
-             progress: bool = True):
+             progress: bool = True, resume_path: str = None):
+    """Evaluate pose AUC over a pair dataset.
+
+    ``resume_path``: optional JSONL shard file; each completed pair is
+    appended as {"i", "err_R", "err_t"} and already-recorded pairs are
+    skipped, so a crashed run resumes where it stopped (the reference
+    restarts from scratch, SURVEY.md par.5).
+    """
+    done = {}
+    fh = None
+    if resume_path:
+        if os.path.exists(resume_path):
+            with open(resume_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    done[rec["i"]] = (rec["err_R"], rec["err_t"])
+        fh = open(resume_path, "a")
     err_R, err_t = [], []
     for i, data in enumerate(dataset):
-        ml, mr = matcher.match(data["image0"], data["image1"])
-        r, t = compute_pose_error(ml, mr, data["K0"], data["K1"],
-                                  data["T0"], data["T1"],
-                                  scale_factor, threshold)
+        if i in done:
+            r, t = done[i]
+        else:
+            ml, mr = matcher.match(data["image0"], data["image1"])
+            r, t = compute_pose_error(ml, mr, data["K0"], data["K1"],
+                                      data["T0"], data["T1"],
+                                      scale_factor, threshold)
+            if fh:
+                fh.write(json.dumps(
+                    {"i": i, "err_R": float(r), "err_t": float(t)}) + "\n")
+                fh.flush()
         err_R.append(r)
         err_t.append(t)
         if progress and i % 50 == 0:
             print(f"[{i}/{len(dataset)}]", flush=True)
+    if fh:
+        fh.close()
     return aggregate_metrics(err_R, err_t)
 
 
@@ -63,6 +89,8 @@ def main(argv=None):
                         metavar=("COARSE", "FINE", "THIRD"))
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="orbax checkpoint dir")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="JSONL shard file for crash-resumable eval")
     args = parser.parse_args(argv)
 
     try:
@@ -88,7 +116,8 @@ def main(argv=None):
         matcher = Matcher(cfg, seed=cfg.eval.seed)
 
     dataset = build_dataset(cfg)
-    metric = evaluate(matcher, dataset, args.scale_factor, cfg.eval.threshold)
+    metric = evaluate(matcher, dataset, args.scale_factor, cfg.eval.threshold,
+                      resume_path=args.resume)
     print("-" * 5 + f"Evaluation on {cfg.eval.dataset}" + "-" * 5)
     for key, value in metric.items():
         print(f"{key}: {value}")

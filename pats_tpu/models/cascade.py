@@ -117,6 +117,7 @@ class PATSCascade(nn.Module):
             expand_iters=f.expand_iters,
             expand_lower_bound=f.expand_lower_bound,
             fused_attention=cfg.use_fused_attention,
+            pallas_sinkhorn=cfg.use_pallas_sinkhorn,
             dtype=dtype, name="fine")(
             left_crops, right_crops, r1["desc0"], r1["alive"],
             gh, gw, self.outdoor, self.merge_new)
@@ -140,6 +141,7 @@ class PATSCascade(nn.Module):
             window=rcfg.window, padded_map=rcfg.padded_map,
             neighborhood=rcfg.neighborhood,
             fused_attention=cfg.use_fused_attention,
+            pallas_sinkhorn=cfg.use_pallas_sinkhorn,
             use_running_average=not cfg.refine_batch_stats,
             dtype=dtype, name="refine")(
             left_crops, right_crops, r2["tokens0"], r2["tokens1"],

@@ -52,6 +52,7 @@ class FineMatcher(nn.Module):
     expand_iters: int = 8
     expand_lower_bound: float = 1e-3
     fused_attention: bool = False
+    pallas_sinkhorn: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -128,7 +129,8 @@ class FineMatcher(nn.Module):
         scores = jnp.einsum("gnd,gmd->gnm", mdesc0, mdesc1) / math.sqrt(D)
         plan = ot_inline_dustbin(
             (self.score_temperature * scores).astype(jnp.float32),
-            (scale_x * scale_y), self.sinkhorn_iterations)   # (G, 145, 145)
+            (scale_x * scale_y), self.sinkhorn_iterations,
+            use_pallas=self.pallas_sinkhorn)                 # (G, 145, 145)
 
         bonus = math.log(2.0 if outdoor else 3.0)
         plan = plan.at[:, :, -1].add(bonus)

@@ -93,6 +93,7 @@ class SubpixelRefiner(nn.Module):
     padded_map: int = 52           # M
     neighborhood: int = 5          # T
     fused_attention: bool = False
+    pallas_sinkhorn: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -204,7 +205,8 @@ class SubpixelRefiner(nn.Module):
         scores = jnp.einsum("knd,kmd->knm", t0, t1) / math.sqrt(D)
         plan = ot_inline_dustbin(
             (self.score_temperature * scores).astype(jnp.float32),
-            scale, self.sinkhorn_iterations)                        # (K,65,65)
+            scale, self.sinkhorn_iterations,
+            use_pallas=self.pallas_sinkhorn)                        # (K,65,65)
         p = jnp.exp(plan)
 
         mkpts1, valid16 = self._compute_result(p, scale_xy, tgt)

@@ -96,6 +96,9 @@ def expand_transport(scores_exp: jnp.ndarray, scale_x: jnp.ndarray,
       iter_num: growth iterations (static; 15 for level 1, 8 for level 2).
       lower_bound: minimum strip mass to keep growing.
     """
+    scores_exp = scores_exp.astype(jnp.float32)
+    scale_x = scale_x.astype(jnp.float32)
+    scale_y = scale_y.astype(jnp.float32)
     B, Mp1, Np1 = scores_exp.shape
     M, N = Mp1 - 1, Np1 - 1
     assert N == height * width, (N, height, width)

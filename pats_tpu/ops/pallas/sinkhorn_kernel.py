@@ -53,16 +53,20 @@ def _kernel(z_ref, mu_ref, nu_ref, out_ref, *, iters: int):
                    static_argnames=("iters", "block_b", "interpret"))
 def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
                        log_nu: jnp.ndarray, iters: int,
-                       block_b: int = 128,
+                       block_b: int = 0,
                        interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for ops.sinkhorn.log_sinkhorn on (B, m, n).
 
     Pads m/n to lane-friendly sizes internally; returns the unpadded plan.
-    ``interpret=True`` runs the Pallas interpreter (for CPU tests).
+    ``block_b=0`` picks the largest batch tile whose Z block stays ~2.5 MB
+    (the kernel holds a handful of block-sized temporaries in the ~16 MB
+    VMEM).  ``interpret=True`` runs the Pallas interpreter (CPU tests).
     """
     B, m, n = Z.shape
     mp = _round_up(m, 8)
     np_ = _round_up(n, 128)
+    if block_b == 0:
+        block_b = max(8, min(128, int(2.5e6 / (mp * np_ * 4)) // 8 * 8))
     bp = _round_up(B, block_b)
     Zp = jnp.full((bp, mp, np_), _NEG, jnp.float32)
     Zp = Zp.at[:B, :m, :n].set(Z.astype(jnp.float32))

@@ -68,6 +68,7 @@ def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
       (b, m+1, n+1) log transport plan, de-normalized by +log(m + sum(ns))
       so that exp() sums to (m + sum(ns)) rather than 1.
     """
+    scores = scores.astype(jnp.float32)
     b, m, n = scores.shape
     alpha = jnp.asarray(alpha, scores.dtype)
     bins0 = jnp.full((b, m, 1), alpha, scores.dtype)
@@ -77,6 +78,7 @@ def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
         [jnp.concatenate([scores, bins0], axis=2),
          jnp.concatenate([bins1, corner], axis=2)], axis=1)
 
+    ns = ns.astype(jnp.float32)
     ns_sum = jnp.sum(ns, axis=1)                       # (b,)
     norm = -jnp.log(m + ns_sum)                        # (b,)
     log_nu = jnp.concatenate(
@@ -91,7 +93,7 @@ def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
 
 
 def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
-                      iters: int) -> jnp.ndarray:
+                      iters: int, use_pallas: bool = False) -> jnp.ndarray:
     """Level-2/3 optimal transport where the dustbin is the last token.
 
     Semantics of reference modules.py:165-182: ``scores`` is (b, m, n) with
@@ -107,6 +109,8 @@ def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
     Returns:
       (b, m, n) log transport plan de-normalized by +log((m-1) + sum(ns)).
     """
+    scores = scores.astype(jnp.float32)
+    ns = ns.astype(jnp.float32)
     b, m, n = scores.shape
     ms = float(m - 1)
     ns_sum = jnp.sum(ns, axis=1)                       # (b,)
@@ -118,5 +122,10 @@ def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
         [jnp.broadcast_to(norm[:, None], (b, m - 1)),
          (jnp.log(ns_sum) + norm)[:, None]], axis=1)    # (b, m)
 
-    Z = log_sinkhorn(scores, log_mu, log_nu, iters)
+    if use_pallas:
+        from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
+
+        Z = fused_log_sinkhorn(scores, log_mu, log_nu, iters)
+    else:
+        Z = log_sinkhorn(scores, log_mu, log_nu, iters)
     return Z - norm[:, None, None]

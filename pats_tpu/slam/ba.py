@@ -1,0 +1,164 @@
+"""Gauss-Newton bundle adjustment with a Schur-complement camera solve.
+
+TPU-first formulation: observations are a fixed-capacity masked array; all
+Jacobian blocks are built with batched einsums, the per-camera (U), per-
+point (V) and cross (W) normal-equation blocks accumulate with
+segment-sums, and the reduced camera system
+
+    S = U - W V^-1 W^T,    S dx_c = b_c - W V^-1 b_p
+
+is assembled densely (6M x 6M) and solved with Cholesky.  Under a device
+mesh the observation axis shards and U/V/W/b accumulate with ``psum``
+(pass ``axis_name``), which is exactly the distributed-BA reduction the
+north star asks for.
+
+Parameterization: world-to-camera poses, right-multiplied se3 increments
+(R exp(w), t + dt); points in world coordinates; pinhole normalized
+observations.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BAProblem(NamedTuple):
+    R: jnp.ndarray        # (M, 3, 3) world->cam rotations
+    t: jnp.ndarray        # (M, 3)
+    X: jnp.ndarray        # (P, 3) world points
+    cam_idx: jnp.ndarray  # (O,) int32
+    pt_idx: jnp.ndarray   # (O,) int32
+    uv: jnp.ndarray       # (O, 2) normalized observations
+    valid: jnp.ndarray    # (O,) bool
+
+
+def _hat(w):
+    zeros = jnp.zeros_like(w[..., 0])
+    return jnp.stack([
+        jnp.stack([zeros, -w[..., 2], w[..., 1]], -1),
+        jnp.stack([w[..., 2], zeros, -w[..., 0]], -1),
+        jnp.stack([-w[..., 1], w[..., 0], zeros], -1),
+    ], -2)
+
+
+def _exp_so3(w):
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    K = _hat(w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True),
+                             1e-12))
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    return (eye + jnp.sin(theta) * K
+            + (1 - jnp.cos(theta)) * (K @ K))
+
+
+def _residual_jacobians(prob: BAProblem):
+    """Per-observation residuals + camera/point Jacobian blocks."""
+    Rc = prob.R[prob.cam_idx]                     # (O, 3, 3)
+    tc = prob.t[prob.cam_idx]                     # (O, 3)
+    Xp = prob.X[prob.pt_idx]                      # (O, 3)
+    pc = jnp.einsum("oij,oj->oi", Rc, Xp) + tc    # camera-frame points
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    proj = pc[:, :2] / z[:, None]
+    r = proj - prob.uv                            # (O, 2)
+
+    # d proj / d pc
+    inv_z = 1.0 / z
+    dproj = jnp.stack([
+        jnp.stack([inv_z, jnp.zeros_like(z), -pc[:, 0] * inv_z ** 2], -1),
+        jnp.stack([jnp.zeros_like(z), inv_z, -pc[:, 1] * inv_z ** 2], -1),
+    ], -2)                                        # (O, 2, 3)
+    # camera: pc = R exp(w) X + t + dt  =>  d pc/d w = -R [X]_x ; d pc/dt = I
+    dw = -jnp.einsum("oij,ojk->oik", Rc, _hat(Xp))
+    A = jnp.concatenate([jnp.einsum("oij,ojk->oik", dproj, dw), dproj],
+                        axis=-1)                  # (O, 2, 6)
+    # point: d pc/d X = R
+    B = jnp.einsum("oij,ojk->oik", dproj, Rc)     # (O, 2, 3)
+    w = prob.valid[:, None].astype(r.dtype)
+    return r * w, A * w[..., None], B * w[..., None]
+
+
+def gauss_newton_step(prob: BAProblem, damping: float = 1e-4,
+                      axis_name: Optional[str] = None
+                      ) -> Tuple[BAProblem, jnp.ndarray]:
+    """One damped GN step; returns (updated problem, mean sq residual).
+
+    With ``axis_name`` the normal-equation accumulations psum over the
+    mesh axis (observations sharded, states replicated).
+    """
+    M = prob.R.shape[0]
+    P = prob.X.shape[0]
+    r, A, B = _residual_jacobians(prob)
+
+    U = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", A, A),
+                            prob.cam_idx, num_segments=M)   # (M, 6, 6)
+    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", B, B),
+                            prob.pt_idx, num_segments=P)    # (P, 3, 3)
+    b_c = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", A, r),
+                              prob.cam_idx, num_segments=M)  # (M, 6)
+    b_p = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", B, r),
+                              prob.pt_idx, num_segments=P)   # (P, 3)
+    # dense cross blocks W (M, P, 6, 3) via one-hot scatter
+    Wd = jnp.zeros((M, P, 6, 3))
+    Wd = Wd.at[prob.cam_idx, prob.pt_idx].add(
+        jnp.einsum("oki,okj->oij", A, B))
+
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        V = jax.lax.psum(V, axis_name)
+        b_c = jax.lax.psum(b_c, axis_name)
+        b_p = jax.lax.psum(b_p, axis_name)
+        Wd = jax.lax.psum(Wd, axis_name)
+
+    U = U + damping * jnp.eye(6)
+    V = V + damping * jnp.eye(3)
+    Vinv = jnp.linalg.inv(V)                                 # (P, 3, 3)
+
+    # Schur complement: S = U_blkdiag - W Vinv W^T
+    WVinv = jnp.einsum("mpij,pjk->mpik", Wd, Vinv)           # (M, P, 6, 3)
+    S_off = jnp.einsum("mpik,npjk->mnij", WVinv, Wd)         # (M, M, 6, 6)
+    S = -S_off
+    S = S.at[jnp.arange(M), jnp.arange(M)].add(U)
+    rhs = b_c - jnp.einsum("mpik,pk->mi", WVinv, b_p)        # (M, 6)
+
+    # gauge fixing: freeze camera 0
+    Sd = S.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
+    rd = rhs.reshape(6 * M)
+    fix = jnp.arange(6 * M) < 6
+    Sd = jnp.where(fix[:, None] | fix[None, :], 0.0, Sd)
+    Sd = Sd + jnp.diag(fix.astype(Sd.dtype))
+    rd = jnp.where(fix, 0.0, rd)
+
+    dx_c = jnp.linalg.solve(Sd, -rd).reshape(M, 6)
+    dx_p = jnp.einsum("pij,pj->pi",
+                      Vinv, -(b_p + jnp.einsum("mpik,mi->pk", Wd, dx_c)))
+
+    R_new = jnp.einsum("mij,mjk->mik", prob.R, _exp_so3(dx_c[:, :3]))
+    t_new = prob.t + dx_c[:, 3:]
+    X_new = prob.X + dx_p
+
+    denom = jnp.maximum(jnp.sum(prob.valid), 1)
+    if axis_name is not None:
+        sq = jax.lax.psum(jnp.sum(jnp.square(r)), axis_name)
+        denom = jax.lax.psum(denom, axis_name)
+    else:
+        sq = jnp.sum(jnp.square(r))
+    mse = sq / denom
+    return prob._replace(R=R_new, t=t_new, X=X_new), mse
+
+
+def run_bundle_adjustment(prob: BAProblem, iters: int = 10,
+                          damping: float = 1e-4,
+                          axis_name: Optional[str] = None
+                          ) -> Tuple[BAProblem, jnp.ndarray]:
+    """Run ``iters`` GN steps; returns final problem + residual history."""
+
+    def body(carry, _):
+        p, _ = carry
+        p2, mse = gauss_newton_step(p, damping, axis_name)
+        return (p2, mse), mse
+
+    (prob, _), hist = jax.lax.scan(body, (prob, jnp.asarray(0.0)),
+                                   length=iters)
+    return prob, hist
