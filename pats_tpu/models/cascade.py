@@ -99,6 +99,7 @@ class PATSCascade(nn.Module):
             expand_iters=c.expand_iters,
             expand_lower_bound=c.expand_lower_bound,
             fused_attention=cfg.use_fused_attention,
+            pallas_sinkhorn=cfg.use_pallas_sinkhorn,
             dtype=dtype, name="coarse")(left, right)
 
         boxes, crop_scale, center = _subdivide(

@@ -57,6 +57,7 @@ class CoarseMatcher(nn.Module):
     expand_iters: int = 15
     expand_lower_bound: float = 1e-5
     fused_attention: bool = False
+    pallas_sinkhorn: bool = False
     use_running_average: bool = True
     deterministic: bool = True     # trunk dropout off (inference)
     dtype: Optional[jnp.dtype] = None
@@ -132,7 +133,8 @@ class CoarseMatcher(nn.Module):
         plan = ot_learned_dustbin(
             (self.score_temperature * scores)[None].astype(jnp.float32),
             jnp.abs(bin_score), scales_head[None],
-            self.sinkhorn_iterations)                              # (1,G+1,G+1)
+            self.sinkhorn_iterations,
+            use_pallas=self.pallas_sinkhorn)                       # (1,G+1,G+1)
 
         # per-target matched-mass scales (first_layer.py:117-118)
         plan_exp = jnp.exp(plan)

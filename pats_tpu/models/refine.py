@@ -226,22 +226,23 @@ class SubpixelRefiner(nn.Module):
         max0 = jnp.argmax(p[:, :-1, :-1], axis=2).reshape(K, W, W)
         max0 = max0[:, 2:6, 2:6].reshape(K, 16)                      # 0..63
 
-        dx = jnp.arange(T)
-        x3 = (max0 % W)[:, :, None, None] + dx[None, None, None, :]
-        y3 = (max0 // W)[:, :, None, None] + dx[None, None, :, None]
-        idx3 = (y3 * (W + 4) + x3).reshape(K, 16, T * T)
-
         spad = jnp.pad(scale_xy.reshape(K, W, W), ((0, 0), (2, 2), (2, 2)),
                        constant_values=1e-2).reshape(K, 1, -1)       # (K,1,144)
         wgt = jnp.sqrt(central + 1e-7) / spad
-        wsel = jnp.take_along_axis(wgt, idx3, axis=2)                # (K,16,25)
 
-        off = (jnp.arange(T, dtype=jnp.float32) * 2 - (T - 1))       # {-4..4}
-        off_x = jnp.tile(off, (T,))                                  # dx fastest
-        off_y = jnp.repeat(off, T)
-        wx = jnp.einsum("kip,p->ki", wsel, off_x)
-        wy = jnp.einsum("kip,p->ki", wsel, off_y)
-        wsum = jnp.sum(wsel, axis=2)
+        # TxT window selection as a masked reduction over the 144 padded
+        # cells (per-element TPU gathers are orders of magnitude slower)
+        wpad = W + 4
+        cell = jnp.arange(wpad * wpad)
+        cy = (cell // wpad)[None, None, :]
+        cx = (cell % wpad)[None, None, :]
+        dy = cy - (max0 // W)[:, :, None]
+        dxx = cx - (max0 % W)[:, :, None]
+        inw = (dy >= 0) & (dy < T) & (dxx >= 0) & (dxx < T)
+        w = jnp.where(inw, wgt, 0.0)                                 # (K,16,144)
+        wsum = jnp.sum(w, axis=2)
+        wx = jnp.sum(w * (dxx * 2 - (T - 1)), axis=2)
+        wy = jnp.sum(w * (dy * 2 - (T - 1)), axis=2)
 
         fx = wx / wsum + ((max0 % W).astype(jnp.float32) + 0.5 - W / 2) * 2.0
         fy = wy / wsum + ((max0 // W).astype(jnp.float32) + 0.5 - W / 2) * 2.0

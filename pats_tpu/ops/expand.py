@@ -145,7 +145,9 @@ def expand_transport(scores_exp: jnp.ndarray, scale_x: jnp.ndarray,
         best_mass = jnp.max(mass, axis=-1)
         grow = best_mass > lower_bound
         nm = strips(r0, r1, c0, c1, rect_nm)
-        best_nm = jnp.take_along_axis(nm, best[..., None], axis=-1)[..., 0]
+        dir4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 4), 2)
+        best_nm = jnp.sum(
+            jnp.where(best[..., None] == dir4, nm, 0.0), axis=-1)
         r0 = jnp.where(grow & (best == 0), r0 - 1, r0)
         r1 = jnp.where(grow & (best == 1), r1 + 1, r1)
         c0 = jnp.where(grow & (best == 2), c0 - 1, c0)

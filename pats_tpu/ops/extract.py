@@ -29,17 +29,19 @@ def extract_patch_neighborhoods(image: jnp.ndarray, patch: int = 32) -> jnp.ndar
     """
     H, W, C = image.shape
     gh, gw = H // patch, W // patch
-    win = 3 * patch
     padded = jnp.pad(image, ((patch, patch), (patch, patch), (0, 0)))
-    Hp, Wp = padded.shape[:2]
 
-    # flat gather indices: window origin (r*patch, c*patch) in padded coords
-    orow = jnp.arange(gh) * patch                       # (gh,)
-    ocol = jnp.arange(gw) * patch                       # (gw,)
-    wrow = jnp.arange(win)                              # (win,)
-    wcol = jnp.arange(win)
-    rows = (orow[:, None] + wrow[None, :])              # (gh, win)
-    cols = (ocol[:, None] + wcol[None, :])              # (gw, win)
-    flat_idx = (rows[:, None, :, None] * Wp + cols[None, :, None, :])
-    out = jnp.take(padded.reshape(Hp * Wp, C), flat_idx.reshape(-1), axis=0)
-    return out.reshape(gh * gw, win, win, C)
+    # gather-free: the 3x3-patch windows are assembled from 9 shifted
+    # whole-grid views (slice + reshape + transpose; TPU gathers are slow)
+    tiles = []
+    for di in range(3):
+        row_tiles = []
+        for dj in range(3):
+            view = padded[di * patch:di * patch + gh * patch,
+                          dj * patch:dj * patch + gw * patch]
+            row_tiles.append(view.reshape(gh, patch, gw, patch, C))
+        tiles.append(jnp.stack(row_tiles, axis=0))      # (3, gh, p, gw, p, C)
+    t = jnp.stack(tiles, axis=0)                        # (3, 3, gh, p, gw, p, C)
+    # -> (gh, gw, 3, p, 3, p, C) -> (G, 3p, 3p, C)
+    t = t.transpose(2, 4, 0, 3, 1, 5, 6)
+    return t.reshape(gh * gw, 3 * patch, 3 * patch, C)

@@ -67,6 +67,8 @@ def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
     np_ = _round_up(n, 128)
     if block_b == 0:
         block_b = max(8, min(128, int(2.5e6 / (mp * np_ * 4)) // 8 * 8))
+        if B <= block_b:
+            block_b = B         # single block; any size is tile-legal
     bp = _round_up(B, block_b)
     Zp = jnp.full((bp, mp, np_), _NEG, jnp.float32)
     Zp = Zp.at[:B, :m, :n].set(Z.astype(jnp.float32))

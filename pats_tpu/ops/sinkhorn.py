@@ -49,7 +49,8 @@ def log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray, log_nu: jnp.ndarray,
 
 
 def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
-                       ns: jnp.ndarray, iters: int) -> jnp.ndarray:
+                       ns: jnp.ndarray, iters: int,
+                       use_pallas: bool = False) -> jnp.ndarray:
     """Level-1 optimal transport with learned dustbin and per-column scales.
 
     Semantics of reference modules.py:145-162: a scalar ``alpha`` is appended
@@ -88,7 +89,12 @@ def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
         [jnp.broadcast_to(norm[:, None], (b, m)),
          (jnp.log(ns_sum) + norm)[:, None]], axis=1)    # (b, m+1)
 
-    Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
+    if use_pallas:
+        from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
+
+        Z = fused_log_sinkhorn(couplings, log_mu, log_nu, iters)
+    else:
+        Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
     return Z - norm[:, None, None]
 
 
