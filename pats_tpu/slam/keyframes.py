@@ -1,0 +1,119 @@
+"""Keyframe graph: incremental mapping over matched pairs.
+
+Host-side bookkeeping around the device math (slam/geometry.py RANSAC /
+triangulation, slam/ba.py bundle adjustment): keyframes are added when the
+inlier ratio against the last keyframe drops (viewpoint changed), matches
+are triangulated into landmarks, and windows of the graph are refined with
+the Schur-complement BA.
+
+This is deliberately simple, deterministic scaffolding for the north-star
+engine: fixed-capacity observation arrays, explicit world-to-camera
+poses, no loop closure yet (STATUS.md round-2 item).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from pats_tpu.slam.ba import BAProblem, run_bundle_adjustment
+from pats_tpu.slam.geometry import triangulate
+from pats_tpu.slam.pipeline import normalize_keypoints, two_view_pose
+
+
+@dataclass
+class Keyframe:
+    index: int
+    R: np.ndarray                  # (3, 3) world->cam
+    t: np.ndarray                  # (3,)
+    image: Optional[np.ndarray] = None
+
+
+@dataclass
+class KeyframeGraph:
+    K: np.ndarray                  # (3, 3) shared intrinsics
+    min_inlier_ratio: float = 0.6  # below this vs last KF -> new keyframe
+    keyframes: List[Keyframe] = field(default_factory=list)
+    landmarks: List[np.ndarray] = field(default_factory=list)   # (3,) world
+    obs_cam: List[int] = field(default_factory=list)
+    obs_pt: List[int] = field(default_factory=list)
+    obs_uv: List[np.ndarray] = field(default_factory=list)      # normalized
+
+    def add_first(self, image: Optional[np.ndarray] = None) -> Keyframe:
+        kf = Keyframe(0, np.eye(3), np.zeros(3), image)
+        self.keyframes.append(kf)
+        return kf
+
+    def track(self, matcher, image: np.ndarray,
+              threshold_px: float = 0.5) -> Tuple[bool, Optional[Keyframe]]:
+        """Match against the last keyframe; spawn a keyframe on low
+        overlap.  Returns (tracked, new_keyframe_or_None)."""
+        last = self.keyframes[-1]
+        if last.image is None:
+            raise ValueError("keyframes need stored images for tracking")
+        ml, mr = matcher.match(last.image, image)
+        pose = two_view_pose(ml, mr, self.K, self.K, threshold_px)
+        if pose is None:
+            return False, None
+        R_rel, t_rel, n_inl = pose
+        ratio = n_inl / max(len(ml), 1)
+        if ratio >= self.min_inlier_ratio and len(self.keyframes) > 1:
+            return True, None
+        # chain pose (unit-scale baseline) and spawn a keyframe
+        R_new = R_rel @ last.R
+        t_new = R_rel @ last.t + t_rel / max(np.linalg.norm(t_rel), 1e-9)
+        kf = Keyframe(len(self.keyframes), R_new, t_new, image)
+        self.keyframes.append(kf)
+        self._triangulate_pair(last, kf, ml, mr)
+        return True, kf
+
+    def _triangulate_pair(self, kf0: Keyframe, kf1: Keyframe,
+                          ml: np.ndarray, mr: np.ndarray,
+                          max_points: int = 512):
+        x0 = normalize_keypoints(ml, self.K)[:max_points]
+        x1 = normalize_keypoints(mr, self.K)[:max_points]
+        X = np.asarray(triangulate(
+            jnp.asarray(kf0.R, jnp.float32), jnp.asarray(kf0.t, jnp.float32),
+            jnp.asarray(kf1.R, jnp.float32), jnp.asarray(kf1.t, jnp.float32),
+            jnp.asarray(x0), jnp.asarray(x1)))
+        # keep points in front of both cameras with sane depth
+        z0 = (X @ kf0.R.T + kf0.t)[:, 2]
+        z1 = (X @ kf1.R.T + kf1.t)[:, 2]
+        keep = (z0 > 0.1) & (z1 > 0.1) & (np.abs(X) < 1e3).all(1)
+        for j in np.nonzero(keep)[0]:
+            pid = len(self.landmarks)
+            self.landmarks.append(X[j])
+            self.obs_cam += [kf0.index, kf1.index]
+            self.obs_pt += [pid, pid]
+            self.obs_uv += [x0[j], x1[j]]
+
+    def optimize(self, iters: int = 5, damping: float = 1e-4) -> float:
+        """Run bundle adjustment over the whole graph; returns final MSE."""
+        if len(self.keyframes) < 2 or not self.landmarks:
+            return 0.0
+        prob = BAProblem(
+            R=jnp.asarray(np.stack([k.R for k in self.keyframes]),
+                          jnp.float32),
+            t=jnp.asarray(np.stack([k.t for k in self.keyframes]),
+                          jnp.float32),
+            X=jnp.asarray(np.stack(self.landmarks), jnp.float32),
+            cam_idx=jnp.asarray(self.obs_cam, jnp.int32),
+            pt_idx=jnp.asarray(self.obs_pt, jnp.int32),
+            uv=jnp.asarray(np.stack(self.obs_uv), jnp.float32),
+            valid=jnp.ones(len(self.obs_uv), bool))
+        out, hist = run_bundle_adjustment(prob, iters=iters, damping=damping)
+        R = np.asarray(out.R)
+        t = np.asarray(out.t)
+        for i, kf in enumerate(self.keyframes):
+            kf.R, kf.t = R[i], t[i]
+        X = np.asarray(out.X)
+        for j in range(len(self.landmarks)):
+            self.landmarks[j] = X[j]
+        return float(np.asarray(hist)[-1])
+
+    def trajectory(self) -> np.ndarray:
+        """(N, 3) camera centers."""
+        return np.stack([-k.R.T @ k.t for k in self.keyframes])
