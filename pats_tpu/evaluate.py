@@ -91,6 +91,10 @@ def main(argv=None):
                         help="orbax checkpoint dir")
     parser.add_argument("--resume", type=str, default=None,
                         help="JSONL shard file for crash-resumable eval")
+    parser.add_argument("--matmul-precision", type=str, default="float32",
+                        choices=["default", "float32", "highest"],
+                        help="TPU f32 matmuls default to bf16 multiplies; "
+                             "checkpoint-parity eval should keep float32")
     args = parser.parse_args(argv)
 
     try:
@@ -100,6 +104,12 @@ def main(argv=None):
 
     random.seed(cfg.eval.seed)
     np.random.seed(cfg.eval.seed)
+
+    import jax
+
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     from pats_tpu.matcher import Matcher
 
