@@ -97,9 +97,13 @@ def main(argv=None):
                              "checkpoint-parity eval should keep float32")
     args = parser.parse_args(argv)
 
-    try:
-        cfg = load_config(args.config)
-    except KeyError:
+    import yaml
+
+    with open(args.config) as f:
+        raw = yaml.safe_load(f) or {}
+    if any(isinstance(v, dict) for v in raw.values()):
+        cfg = load_config(args.config)       # nested: typos raise KeyError
+    else:
         cfg = reference_yaml_to_config(args.config)
 
     random.seed(cfg.eval.seed)

@@ -20,9 +20,25 @@ from pats_tpu.config import PATSConfig
 from pats_tpu.models.cascade import PATSCascade
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: full-cascade compiles take minutes
+    through the TPU tunnel; cache them across processes."""
+    import os
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/jax_comp_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:      # noqa: BLE001 - cache is an optimization only
+        pass
+
+
 class Matcher:
     def __init__(self, config: PATSConfig, variables: Optional[dict] = None,
                  seed: int = 0):
+        _enable_compile_cache()
         self.config = config
         self.model = PATSCascade(config=config.model,
                                  outdoor=config.eval.if_outdoor,

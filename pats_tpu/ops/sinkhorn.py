@@ -22,6 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _fits_vmem(m: int, n: int) -> bool:
+    """The fused Pallas kernel keeps one (block, m, n) tile plus a few
+    temporaries resident in the ~16 MB VMEM; very large level-1 matrices
+    (>1024-px images) must fall back to the XLA loop."""
+    mp = (m + 7) // 8 * 8
+    np_ = (n + 127) // 128 * 128
+    return mp * np_ * 4 * 4 < 10 * 1024 * 1024
+
+
 def log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray, log_nu: jnp.ndarray,
                  iters: int) -> jnp.ndarray:
     """Sinkhorn normalization in log space.
@@ -89,7 +98,7 @@ def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
         [jnp.broadcast_to(norm[:, None], (b, m)),
          (jnp.log(ns_sum) + norm)[:, None]], axis=1)    # (b, m+1)
 
-    if use_pallas:
+    if use_pallas and _fits_vmem(m + 1, n + 1):
         from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
 
         Z = fused_log_sinkhorn(couplings, log_mu, log_nu, iters)
@@ -128,7 +137,7 @@ def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
         [jnp.broadcast_to(norm[:, None], (b, m - 1)),
          (jnp.log(ns_sum) + norm)[:, None]], axis=1)    # (b, m)
 
-    if use_pallas:
+    if use_pallas and _fits_vmem(m, n):
         from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
 
         Z = fused_log_sinkhorn(scores, log_mu, log_nu, iters)
