@@ -147,6 +147,9 @@ class FineMatcher(nn.Module):
             "cell_alive": cell_alive,
             "pts": res.average_point,
             "trust": res.whole_cost,
+            "core_cost": res.core_cost,
+            "cell_matched": jnp.logical_not(res.if_nomatching),
+            "plan": plan,
             "tokens0": mdesc0,
             "tokens1": mdesc1,
             "x_scale": res.x_scale,

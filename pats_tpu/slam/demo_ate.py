@@ -1,0 +1,76 @@
+"""Demo-sequence trajectory harness: odometry over frames + ATE vs GT.
+
+North-star metric (BASELINE.md): trajectory error on the demo sequence.
+
+    python -m pats_tpu.slam.demo_ate <frames_dir> --K fx fy cx cy \
+        [--gt gt_traj.txt] [--config cfg.yaml] [--long-side 640]
+
+GT format: one "x y z" (or "t x y z ...": TUM - positions in cols 1:4)
+line per frame.  Prints the scale-aligned ATE RMSE when GT is given,
+otherwise just the estimated camera centers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def load_gt_trajectory(path: str) -> np.ndarray:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            vals = [float(v) for v in parts]
+            rows.append(vals[1:4] if len(vals) > 3 else vals[:3])
+    return np.asarray(rows)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("frames", type=str)
+    parser.add_argument("--K", type=float, nargs=4, required=True,
+                        metavar=("FX", "FY", "CX", "CY"))
+    parser.add_argument("--gt", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--long-side", type=int, default=640)
+    parser.add_argument("--threshold-px", type=float, default=0.5)
+    args = parser.parse_args(argv)
+
+    from pats_tpu.config import load_config
+    from pats_tpu.data.video import VideoFrames
+    from pats_tpu.matcher import Matcher
+    from pats_tpu.slam.ate import absolute_trajectory_error
+    from pats_tpu.slam.pipeline import sequence_trajectory
+
+    cfg = load_config(args.config)
+    matcher = Matcher(cfg, seed=cfg.eval.seed)
+    fx, fy, cx, cy = args.K
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    frames_src = VideoFrames(args.frames, long_side=args.long_side)
+    frames = [f["image1"] for f in frames_src]
+    first = frames_src._load(frames_src.names[0])
+    frames = [first] + frames
+
+    centers = sequence_trajectory(matcher, frames, K, args.threshold_px)
+    traj = np.asarray(centers)
+    out = {"frames": len(traj)}
+    if args.gt:
+        import jax.numpy as jnp
+
+        gt = load_gt_trajectory(args.gt)[:len(traj)]
+        ate = float(absolute_trajectory_error(
+            jnp.asarray(traj, jnp.float32), jnp.asarray(gt, jnp.float32)))
+        out["ate_rmse"] = ate
+    for i, c in enumerate(traj):
+        print(f"frame {i}: center {c.tolist()}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

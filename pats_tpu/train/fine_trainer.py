@@ -1,0 +1,169 @@
+"""Level-2 trainer: fine matcher supervised through a frozen coarse level.
+
+The reference trained each cascade level separately against per-level GT
+labels (per-level checkpoints, SURVEY.md par.2.8/3.4) but shipped no
+trainer.  This one runs the frozen coarse matcher + subdivision to produce
+the crops, runs the trainable FineMatcher in batch-stats mode, maps the
+global 8-px depth-reprojection labels into every crop's 12x12 cell frame
+on device, and applies the transport losses per crop.
+
+Image pairs shard over the mesh ``data`` axis like the coarse trainer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pats_tpu.config import PATSConfig
+from pats_tpu.models.cascade import _subdivide
+from pats_tpu.models.coarse import CoarseMatcher
+from pats_tpu.models.fine import FineMatcher
+from pats_tpu.ops.expand import ExpandResult
+from pats_tpu.ops.extract import extract_patch_neighborhoods
+from pats_tpu.ops.resize import crop_resize_batch
+from pats_tpu.train.losses import LevelLabels, transport_level_loss
+from pats_tpu.train.trainer import TrainState
+
+_MARGIN = 128
+
+
+def _crop_cell_source_index(gh: int, gw: int):
+    """(G, 144) global 8-px cell index for every crop cell (or -1 when the
+    cell falls outside the image); crop cell (d0, i4, d2, j4) of patch
+    (gr, gc) covers global cell ((gr + d0 - 1) * 4 + i4,
+    (gc + d2 - 1) * 4 + j4)."""
+    import numpy as np
+
+    g = np.arange(gh * gw)
+    gr, gc = g // gw, g % gw
+    cell = np.arange(144)
+    d0, i4 = cell // 48, (cell // 12) % 4
+    d2, j4 = (cell % 12) // 4, cell % 4
+    r8 = (gr[:, None] + d0[None] - 1) * 4 + i4[None]
+    c8 = (gc[:, None] + d2[None] - 1) * 4 + j4[None]
+    valid = (r8 >= 0) & (r8 < gh * 4) & (c8 >= 0) & (c8 < gw * 4)
+    idx = np.where(valid, r8 * (gw * 4) + c8, -1)
+    return jnp.asarray(idx, jnp.int32)
+
+
+class FineTrainer:
+    def __init__(self, cfg: PATSConfig, mesh: Mesh,
+                 learning_rate: float = 1e-4, outdoor: bool = True):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.outdoor = outdoor
+        c = cfg.model.coarse
+        self.coarse = CoarseMatcher(
+            descriptor_dim=c.descriptor_dim, gnn_layers=c.gnn_layers,
+            sinkhorn_iterations=c.sinkhorn_iterations,
+            expand_iters=c.expand_iters,
+            expand_lower_bound=c.expand_lower_bound)
+        f = cfg.model.fine
+        self.fine = FineMatcher(
+            descriptor_dim=f.descriptor_dim, title_dim=f.title_dim,
+            gnn_layers=f.gnn_layers,
+            sinkhorn_iterations=f.sinkhorn_iterations,
+            expand_iters=f.expand_iters,
+            expand_lower_bound=f.expand_lower_bound,
+            use_running_average=False)       # batch statistics in training
+        self.tx = optax.adam(learning_rate)
+        self.batch_sharding = NamedSharding(mesh, P(cfg.runtime.data_axis))
+        self.replicated = NamedSharding(mesh, P())
+
+    def init(self, rng, coarse_variables, left, right) -> TrainState:
+        """coarse_variables: trained/converted coarse level (frozen)."""
+        self.coarse_variables = jax.device_put(coarse_variables,
+                                               self.replicated)
+        crops, desc, alive, *_ = self._front(coarse_variables, left, right)
+        gh, gw = left.shape[0] // 32, left.shape[1] // 32
+        variables = self.fine.init(rng, crops[0], crops[1], desc, alive,
+                                   gh, gw, self.outdoor, True)
+        state = TrainState(variables["params"],
+                           variables.get("batch_stats", {}),
+                           self.tx.init(variables["params"]),
+                           jnp.zeros((), jnp.int32))
+        return jax.device_put(state, self.replicated)
+
+    def _front(self, coarse_variables, left, right):
+        """Frozen coarse forward + subdivision -> fine-level inputs."""
+        out, _ = self.coarse.apply(coarse_variables, left, right,
+                                   mutable=["batch_stats"])
+        out = jax.lax.stop_gradient(out)
+        H, W = left.shape[:2]
+        boxes, crop_scale, center = _subdivide(
+            out["pts"], out["x_scale"], out["y_scale"], H, W)
+        right_pad = jnp.pad(right, ((_MARGIN, _MARGIN), (_MARGIN, _MARGIN),
+                                    (0, 0)))
+        right_crops = crop_resize_batch(right_pad, boxes, out_size=96)
+        left_crops = extract_patch_neighborhoods(left, patch=32)
+        return ((left_crops, right_crops), out["desc0"], out["alive"],
+                crop_scale, center)
+
+    def _pair_loss(self, params, batch_stats, coarse_variables, left, right,
+                   labels8):
+        """labels8: (H8*W8, 3) raw depth labels at 8-px granularity."""
+        gh, gw = left.shape[0] // 32, left.shape[1] // 32
+        crops, desc, alive, crop_scale, center = self._front(
+            coarse_variables, left, right)
+        out, _ = self.fine.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops[0], crops[1], desc, alive, gh, gw, self.outdoor, True,
+            mutable=["batch_stats"])
+
+        src = _crop_cell_source_index(gh, gw)              # (G, 144)
+        raw = labels8[jnp.clip(src, 0, labels8.shape[0] - 1)]  # (G, 144, 3)
+        in_img = src >= 0
+        # map GT pixel targets into each crop's 12-grid frame
+        origin_row = center[:, 0] - 1.5 * crop_scale * 32.0
+        origin_col = center[:, 1] - 1.5 * crop_scale * 32.0
+        cell_px = crop_scale * 8.0
+        gt_row = (raw[..., 1] - origin_row[:, None]) / cell_px[:, None]
+        gt_col = (raw[..., 0] - origin_col[:, None]) / cell_px[:, None]
+        inside = ((gt_row >= 0) & (gt_row < 12)
+                  & (gt_col >= 0) & (gt_col < 12))
+        positive = (raw[..., 0] > -0.5) & in_img & inside & alive[:, None]
+        negative = (raw[..., 0] < -100) & in_img & alive[:, None]
+        gt_class = jnp.where(positive, 1, jnp.where(negative, -1, 0))
+        gt_pos = jnp.where(positive[..., None],
+                           jnp.stack([gt_row, gt_col], -1), -1.0)
+
+        res = ExpandResult(
+            whole_cost=out["trust"], core_cost=out["core_cost"],
+            average_point=out["pts"],
+            x_scale=out["x_scale"], y_scale=out["y_scale"],
+            bound=jnp.zeros(out["trust"].shape + (4,), jnp.int32),
+            if_nomatching=jnp.logical_not(out["cell_matched"]))
+        labels = LevelLabels(gt_pos, gt_class.astype(jnp.int32))
+        return transport_level_loss(out["plan"], res, labels, 12, 12)
+
+    def _loss_fn(self, params, batch_stats, coarse_variables, batch):
+        losses = jax.vmap(
+            self._pair_loss, in_axes=(None, None, None, 0, 0, 0))(
+            params, batch_stats, coarse_variables,
+            batch["left"], batch["right"], batch["labels8"])
+        return jnp.mean(losses)
+
+    @partial(jax.jit, static_argnums=0)
+    def _step(self, state: TrainState, coarse_variables, batch
+              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, state.batch_stats, coarse_variables, batch)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, state.batch_stats, opt_state,
+                           state.step + 1),
+                {"loss": loss, "grad_norm": optax.global_norm(grads)})
+
+    def step(self, state: TrainState, batch):
+        """batch: left/right (B, H, W, 3); labels8 (B, H8*W8, 3) raw
+        8-px labels (train/labels.py depth_reprojection_label level 1)."""
+        batch = {k: jax.device_put(jnp.asarray(v), self.batch_sharding)
+                 for k, v in batch.items()}
+        return self._step(state, self.coarse_variables, batch)

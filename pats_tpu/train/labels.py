@@ -125,6 +125,46 @@ def make_pair_labels(K0: np.ndarray, K1: np.ndarray,
     return {"labels": labels, "labels_reverse": labels_rev, "F": F}
 
 
+def homography_labels(H: np.ndarray, shape, patch_size: int) -> np.ndarray:
+    """Patch-center labels from a known homography (the reference's
+    homography-supervision path, utils/utils.py:807-927, in this
+    framework's label idiom).
+
+    Args:
+      H: (3, 3) homography mapping source pixels to target pixels.
+      shape: (height, width) of the source image.
+      patch_size: label granularity (32 / 8 / 2).
+
+    Returns (num_patches, 3): projected (x, y) target position and the
+    local scale (sqrt of the Jacobian determinant); -1e7 in [0] marks
+    projections that leave the image (definite negatives).
+    """
+    h, w = shape
+    rows_n, cols_n = h // patch_size, w // patch_size
+    ys = (np.arange(rows_n) + 0.5) * patch_size
+    xs = (np.arange(cols_n) + 0.5) * patch_size
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel(), np.ones(gx.size)], axis=-1)
+    proj = pts @ H.T
+    px = proj[:, 0] / proj[:, 2]
+    py = proj[:, 1] / proj[:, 2]
+
+    # local scale via the projective Jacobian determinant
+    h11, h12, h13 = H[0]
+    h21, h22, h23 = H[1]
+    h31, h32, h33 = H[2]
+    wden = pts @ H[2]
+    ju = ((h11 * wden - h31 * proj[:, 0]) * (h22 * wden - h32 * proj[:, 1])
+          - (h12 * wden - h32 * proj[:, 0])
+          * (h21 * wden - h31 * proj[:, 1])) / wden ** 4
+    scale = np.sqrt(np.abs(ju))
+
+    label = np.stack([px, py, scale], axis=-1)
+    off = (px < 1) | (px >= w - 1) | (py < 1) | (py >= h - 1)
+    label[off, 0] = -_UPPER
+    return label
+
+
 def to_level_labels(raw: np.ndarray, patch_size: int):
     """(M, 3) raw labels -> (gt_pos (M, 2) in target-grid units (row, col),
     gt_class (M,) in {-1, 0, +1}) for pats_tpu.train.losses.LevelLabels."""

@@ -72,3 +72,24 @@ def test_depth_labels_identity(rng):
     pos, cls = to_level_labels(lab32, 32)
     assert (cls == 1).all()
     np.testing.assert_allclose(pos[:, 0] * 32, want.reshape(16, 2)[:, 1])
+
+
+def test_homography_labels_identity_and_scale():
+    from pats_tpu.train.labels import homography_labels
+
+    H = np.eye(3)
+    lab = homography_labels(H, (128, 128), 32)
+    assert lab.shape == (16, 3)
+    xs = np.arange(4) * 32 + 16
+    want = np.stack(np.meshgrid(xs, xs), -1).reshape(16, 2)
+    np.testing.assert_allclose(lab[:, :2],
+                               want[:, [0, 1]].astype(float), atol=1e-9)
+    np.testing.assert_allclose(lab[:, 2], 1.0)
+
+    # pure 2x scaling: projections at 2x, local scale 2; most leave the
+    # image -> negatives
+    H2 = np.diag([2.0, 2.0, 1.0])
+    lab2 = homography_labels(H2, (128, 128), 32)
+    inb = lab2[:, 0] > -1e6
+    np.testing.assert_allclose(lab2[inb, 2], 2.0, rtol=1e-6)
+    assert (~inb).sum() > 0
