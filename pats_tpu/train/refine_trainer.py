@@ -1,0 +1,159 @@
+"""Level-3 trainer: sub-pixel refiner supervised through frozen levels 1+2.
+
+Runs the frozen coarse + subdivision + frozen fine matcher to produce
+crops, level-2 tokens and compacted points, then trains the
+SubpixelRefiner: the 2-px GT labels are mapped into each point's 8x8
+target window and supervise the window transport plan (matching NLL +
+dustbin terms) plus an L2 position loss on the refined sub-pixel output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pats_tpu.config import PATSConfig
+from pats_tpu.models.refine import SubpixelRefiner
+from pats_tpu.train.fine_trainer import FineTrainer
+from pats_tpu.train.trainer import TrainState
+
+
+class RefineTrainer:
+    """Shares the frozen front-end machinery with FineTrainer."""
+
+    def __init__(self, cfg: PATSConfig, mesh: Mesh,
+                 learning_rate: float = 1e-4, outdoor: bool = True):
+        self.cfg = cfg
+        self.outdoor = outdoor
+        self.front = FineTrainer(cfg, mesh, outdoor=outdoor)
+        r = cfg.model.refine
+        self.refine = SubpixelRefiner(
+            descriptor_dim=r.descriptor_dim, gnn_layers=r.gnn_layers,
+            sinkhorn_iterations=r.sinkhorn_iterations,
+            window=r.window, padded_map=r.padded_map,
+            neighborhood=r.neighborhood,
+            use_running_average=False)
+        self.tx = optax.adam(learning_rate)
+        self.batch_sharding = NamedSharding(mesh, P(cfg.runtime.data_axis))
+        self.replicated = NamedSharding(mesh, P())
+
+    def _points(self, coarse_vars, fine_vars, left, right):
+        """Frozen front-end -> refiner inputs + crop geometry."""
+        gh, gw = left.shape[0] // 32, left.shape[1] // 32
+        G = gh * gw
+        crops, desc, alive, crop_scale, center = self.front._front(
+            coarse_vars, left, right)
+        out, _ = self.front.fine.apply(
+            fine_vars, crops[0], crops[1], desc, alive, gh, gw,
+            self.outdoor, True, mutable=["batch_stats"])
+        out = jax.lax.stop_gradient(out)
+        K3 = 16 * G
+        flat_alive = out["cell_alive"].reshape(G * 144)
+        order = jnp.argsort(jnp.logical_not(flat_alive).astype(jnp.int32),
+                            stable=True)[:K3]
+        pid = (order // 144).astype(jnp.int32)
+        cell = (order % 144).astype(jnp.int32)
+        tgt = out["pts"].reshape(G * 144, 2)[order]
+        valid = flat_alive[order]
+        return (crops, out["tokens0"], out["tokens1"], pid, cell, tgt,
+                valid, alive, crop_scale, center)
+
+    def init(self, rng, coarse_vars, fine_vars, left, right) -> TrainState:
+        self.coarse_vars = jax.device_put(coarse_vars, self.replicated)
+        self.fine_vars = jax.device_put(fine_vars, self.replicated)
+        crops, t0, t1, pid, cell, tgt, valid, alive, *_ = self._points(
+            coarse_vars, fine_vars, left, right)
+        variables = self.refine.init(rng, crops[0], crops[1], t0, t1,
+                                     pid, cell, tgt, valid, alive)
+        state = TrainState(variables["params"],
+                           variables.get("batch_stats", {}),
+                           self.tx.init(variables["params"]),
+                           jnp.zeros((), jnp.int32))
+        return jax.device_put(state, self.replicated)
+
+    def _pair_loss(self, params, batch_stats, coarse_vars, fine_vars,
+                   left, right, labels2):
+        """labels2: (H2*W2, 3) raw 2-px labels (x, y px, ratio)."""
+        gh, gw = left.shape[0] // 32, left.shape[1] // 32
+        (crops, t0, t1, pid, cell, tgt, valid, alive, crop_scale,
+         center) = self._points(coarse_vars, fine_vars, left, right)
+        out, _ = self.refine.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops[0], crops[1], t0, t1, pid, cell, tgt, valid, alive,
+            mutable=["batch_stats"])
+        mk = out["mkpts1"]                              # (K, 16, 2) crop px
+
+        # GT for each of the 16 sub-points: source sub-point position in
+        # LEFT-image 2-px cells -> its 2-px label
+        W2 = (gw * 32) // 2
+        H2 = (gh * 32) // 2
+        pr = (pid // gw).astype(jnp.float32)
+        pc = (pid % gw).astype(jnp.float32)
+        cell_r = (cell // 12).astype(jnp.float32)
+        cell_c = (cell % 12).astype(jnp.float32)
+        sub = jnp.arange(16, dtype=jnp.float32)
+        sub_r, sub_c = sub // 4, sub % 4
+        # left pixel of sub-point s: crop origin (patch*32-32) + cell*8 +
+        # sub*2 + 1  -> 2-px cell index = pixel // 2
+        row_px = (pr[:, None] * 32 - 32 + cell_r[:, None] * 8
+                  + sub_r[None] * 2 + 1)
+        col_px = (pc[:, None] * 32 - 32 + cell_c[:, None] * 8
+                  + sub_c[None] * 2 + 1)
+        r2 = jnp.floor(row_px / 2).astype(jnp.int32)
+        c2 = jnp.floor(col_px / 2).astype(jnp.int32)
+        in_img = (r2 >= 0) & (r2 < H2) & (c2 >= 0) & (c2 < W2)
+        idx = jnp.clip(r2 * W2 + c2, 0, H2 * W2 - 1)
+        raw = labels2[idx]                               # (K, 16, 3)
+
+        # GT target mapped into crop pixels (x, y)
+        origin_row = center[:, 0] - 1.5 * crop_scale * 32.0
+        origin_col = center[:, 1] - 1.5 * crop_scale * 32.0
+        gt_x = (raw[..., 0] - origin_col[pid][:, None]) / crop_scale[pid][:, None]
+        gt_y = (raw[..., 1] - origin_row[pid][:, None]) / crop_scale[pid][:, None]
+        positive = ((raw[..., 0] > -0.5) & in_img & valid[:, None]
+                    & (gt_x >= 0) & (gt_x < 96) & (gt_y >= 0) & (gt_y < 96))
+
+        d2 = jnp.square(mk[..., 0] - gt_x) + jnp.square(mk[..., 1] - gt_y)
+        d2 = jnp.minimum(d2, 64.0)          # truncate gross outliers
+        denom = jnp.sum(positive.astype(jnp.float32)) + 1e-6
+        pos_loss = jnp.sum(jnp.where(positive, d2, 0.0)) / denom
+
+        # dustbin supervision via the validity labels: definite negatives
+        # should be rejected (valid16 False), positives kept
+        negative = (raw[..., 0] < -100) & in_img & valid[:, None]
+        v16 = out["valid16"].astype(jnp.float32)
+        n_neg = jnp.sum(negative.astype(jnp.float32)) + 1e-6
+        rej_loss = (jnp.sum(jnp.where(negative, v16, 0.0)) / n_neg
+                    + jnp.sum(jnp.where(positive, 1.0 - v16, 0.0)) / denom)
+        return pos_loss + rej_loss
+
+    def _loss_fn(self, params, batch_stats, cv, fv, batch):
+        losses = jax.vmap(
+            self._pair_loss, in_axes=(None, None, None, None, 0, 0, 0))(
+            params, batch_stats, cv, fv,
+            batch["left"], batch["right"], batch["labels2"])
+        return jnp.mean(losses)
+
+    @partial(jax.jit, static_argnums=0)
+    def _step(self, state: TrainState, cv, fv, batch
+              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, state.batch_stats, cv, fv, batch)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, state.batch_stats, opt_state,
+                           state.step + 1),
+                {"loss": loss, "grad_norm": optax.global_norm(grads)})
+
+    def step(self, state: TrainState, batch):
+        """batch: left/right (B, H, W, 3); labels2 (B, H2*W2, 3) raw 2-px
+        labels (train/labels.py level 2)."""
+        batch = {k: jax.device_put(jnp.asarray(v), self.batch_sharding)
+                 for k, v in batch.items()}
+        return self._step(state, self.coarse_vars, self.fine_vars, batch)
