@@ -25,3 +25,18 @@ The package is organized as:
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["Matcher", "PATSConfig", "load_config"]
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: pats_tpu.Matcher / load_config
+    if name == "Matcher":
+        from pats_tpu.matcher import Matcher
+
+        return Matcher
+    if name in ("PATSConfig", "load_config"):
+        import pats_tpu.config as _c
+
+        return getattr(_c, name)
+    raise AttributeError(name)

@@ -88,6 +88,8 @@ def main(argv=None):
     parser.add_argument("config", type=str)
     parser.add_argument("--out", type=str, default="results")
     parser.add_argument("--torch-checkpoints", nargs=3, default=None)
+    parser.add_argument("--long-side", type=int, default=1600,
+                        help="frame resize long side (reference demo: 1600)")
     args = parser.parse_args(argv)
 
     import cv2
@@ -107,7 +109,7 @@ def main(argv=None):
         matcher = Matcher(cfg, seed=cfg.eval.seed)
 
     os.makedirs(args.out, exist_ok=True)
-    frames = VideoFrames(cfg.eval.data_path)
+    frames = VideoFrames(cfg.eval.data_path, long_side=args.long_side)
     for data in frames:
         ml, mr = matcher.match(data["image0"], data["image1"])
         vis = draw_matches(data["image0"], data["image1"], ml, mr)

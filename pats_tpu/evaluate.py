@@ -91,6 +91,8 @@ def main(argv=None):
                         help="orbax checkpoint dir")
     parser.add_argument("--resume", type=str, default=None,
                         help="JSONL shard file for crash-resumable eval")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (aborts on first NaN)")
     parser.add_argument("--matmul-precision", type=str, default="float32",
                         choices=["default", "float32", "highest"],
                         help="TPU f32 matmuls default to bf16 multiplies; "
@@ -114,6 +116,8 @@ def main(argv=None):
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from pats_tpu.matcher import Matcher
 
