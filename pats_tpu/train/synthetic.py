@@ -57,6 +57,42 @@ def warp_pair(image: np.ndarray, rng: np.random.Generator,
     }
 
 
+def rotate_pair_augment(example: Dict[str, np.ndarray],
+                        rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """90-degree rotation augmentation of a training pair + its labels
+    (equivalent of the reference transform_input, utils/utils.py:1856-1881,
+    which rotates both images and remaps the label grid)."""
+    k = int(rng.integers(0, 4))
+    h0, w0 = example["left"].shape[:2]
+    if k % 2 == 1 and h0 != w0:
+        k -= 1          # odd rotations change non-square shapes; skip
+    if k == 0:
+        return example
+    left = np.rot90(example["left"], k, axes=(0, 1)).copy()
+    right = np.rot90(example["right"], k, axes=(0, 1)).copy()
+    h, w = example["left"].shape[:2]
+    patch = 32
+    gh, gw = h // patch, w // patch
+    pos = example["gt_pos"].reshape(gh, gw, 2).copy()
+    cls = example["gt_class"].reshape(gh, gw).copy()
+    for _ in range(k):
+        # rot90 ccw: new (r, c) = (gw-1-c_old... rotate grids and remap
+        # coordinates: (row, col) -> (n_cols_old - 1 - col, row) in grid
+        # units; positions likewise in target-grid units
+        pos = np.rot90(pos, 1, axes=(0, 1)).copy()
+        cls = np.rot90(cls, 1, axes=(0, 1)).copy()
+        gw_cells = w // patch
+        new_pos = np.stack([gw_cells - pos[..., 1], pos[..., 0]], axis=-1)
+        invalid = cls != 1
+        new_pos[invalid] = -1.0
+        pos = new_pos
+        gh, gw = gw, gh
+        h, w = w, h
+    return {**example, "left": left, "right": right,
+            "gt_pos": pos.reshape(-1, 2).astype(np.float32),
+            "gt_class": cls.reshape(-1)}
+
+
 def synthetic_batches(images, batch_size: int, level: int = 0,
                       seed: int = 18027, epochs: Optional[int] = None,
                       **h_kwargs) -> Iterator[Dict[str, np.ndarray]]:

@@ -107,3 +107,26 @@ def aggregate_metrics(error_R: List[float], error_t: List[float]
     pose_errors = np.max(np.stack([np.asarray(error_R),
                                    np.asarray(error_t)]), axis=0)
     return error_auc(pose_errors)
+
+
+def match_precision_recall(ml: np.ndarray, mr: np.ndarray,
+                           H: np.ndarray, threshold_px: float = 3.0
+                           ) -> Dict[str, float]:
+    """Correspondence-level precision under a known homography.
+
+    Equivalent of the reference's accuracy/recall breakdown
+    (Compute_accuracy, utils/utils.py:356-608) for homography-supervised
+    pairs: a match (row, col) -> (row, col) is correct when H maps the
+    left point within ``threshold_px`` of the right point.
+    """
+    if len(ml) == 0:
+        return {"precision": 0.0, "num_matches": 0}
+    xy = np.concatenate([ml[:, [1, 0]], np.ones((len(ml), 1))], axis=1)
+    proj = xy @ np.asarray(H, np.float64).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    err = np.linalg.norm(proj - mr[:, [1, 0]], axis=1)
+    return {
+        "precision": float((err < threshold_px).mean()),
+        "median_err_px": float(np.median(err)),
+        "num_matches": int(len(ml)),
+    }

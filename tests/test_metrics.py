@@ -93,3 +93,34 @@ def test_homography_labels_identity_and_scale():
     inb = lab2[:, 0] > -1e6
     np.testing.assert_allclose(lab2[inb, 2], 2.0, rtol=1e-6)
     assert (~inb).sum() > 0
+
+
+def test_rotate_pair_augment(rng):
+    from pats_tpu.train.synthetic import rotate_pair_augment, warp_pair
+
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    ex = warp_pair(img, np.random.default_rng(1), level=0,
+                   max_rotation=0.01, max_scale=0.01, max_translation=0.005)
+    # force a rotation by trying seeds until k != 0
+    for seed in range(10):
+        out = rotate_pair_augment(ex, np.random.default_rng(seed))
+        if not np.array_equal(out["left"], ex["left"]):
+            break
+    assert out["left"].shape == ex["left"].shape
+    assert set(np.unique(out["gt_class"])) <= {-1, 0, 1}
+    # positive labels stay positive and in-range after remap
+    m = out["gt_class"] == 1
+    if m.any():
+        assert (out["gt_pos"][m] >= 0).all()
+        assert (out["gt_pos"][m] <= 2.0 + 1e-6).all()
+
+
+def test_match_precision_recall_identity():
+    from pats_tpu.utils.metrics import match_precision_recall
+
+    ml = np.array([[10.0, 20.0], [30.0, 40.0], [50.0, 60.0]])
+    res = match_precision_recall(ml, ml, np.eye(3))
+    assert res["precision"] == 1.0
+    mr = ml + np.array([[0.0, 10.0]])
+    res2 = match_precision_recall(ml, mr, np.eye(3))
+    assert res2["precision"] == 0.0

@@ -93,3 +93,16 @@ def test_ate_alignment(rng):
     assert ate < 1e-4, ate
     s, R2, t2 = align_umeyama(jnp.asarray(est), jnp.asarray(traj))
     assert abs(float(s) - 1 / 2.5) < 1e-4
+
+
+def test_write_ply(tmp_path, rng):
+    from pats_tpu.slam.export import write_ply
+
+    pts = rng.normal(size=(10, 3))
+    colors = rng.integers(0, 256, (10, 3)).astype(np.uint8)
+    path = str(tmp_path / "cloud.ply")
+    write_ply(path, pts, colors)
+    text = open(path).read()
+    assert text.startswith("ply")
+    assert "element vertex 10" in text
+    assert len(text.strip().splitlines()) == 10 + 10  # header + points
