@@ -203,10 +203,13 @@ class SubpixelRefiner(nn.Module):
         scale_xy = jnp.sqrt(scale + 1e-8)
 
         scores = jnp.einsum("knd,kmd->knm", t0, t1) / math.sqrt(D)
+        # compacted points are alive-first, so trailing all-dead blocks of
+        # the fused kernel skip the 100 iterations entirely
         plan = ot_inline_dustbin(
             (self.score_temperature * scores).astype(jnp.float32),
             scale, self.sinkhorn_iterations,
-            use_pallas=self.pallas_sinkhorn)                        # (K,65,65)
+            use_pallas=self.pallas_sinkhorn,
+            valid=point_valid)                                      # (K,65,65)
         p = jnp.exp(plan)
 
         mkpts1, valid16 = self._compute_result(p, scale_xy, tgt)

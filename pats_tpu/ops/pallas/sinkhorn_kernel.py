@@ -49,12 +49,29 @@ def _kernel(z_ref, mu_ref, nu_ref, out_ref, *, iters: int):
     out_ref[:] = Z + u[:, :, None] + v[:, None, :]
 
 
+def _masked_kernel(valid_ref, z_ref, mu_ref, nu_ref, out_ref, *,
+                   iters: int):
+    """Same iteration, but a batch block whose slots are ALL invalid skips
+    the loop entirely (callers with compacted alive-first batches get the
+    trailing dead blocks nearly free)."""
+    any_valid = jnp.sum(valid_ref[:]) > 0
+
+    @pl.when(any_valid)
+    def _():
+        _kernel(z_ref, mu_ref, nu_ref, out_ref, iters=iters)
+
+    @pl.when(jnp.logical_not(any_valid))
+    def _():
+        out_ref[:] = z_ref[:]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("iters", "block_b", "interpret"))
 def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
                        log_nu: jnp.ndarray, iters: int,
                        block_b: int = 0,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       valid=None) -> jnp.ndarray:
     """Drop-in replacement for ops.sinkhorn.log_sinkhorn on (B, m, n).
 
     Pads m/n to lane-friendly sizes internally; returns the unpadded plan.
@@ -78,20 +95,32 @@ def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
         log_nu.astype(jnp.float32))
 
     grid = (bp // block_b,)
-    out = pl.pallas_call(
-        functools.partial(_kernel, iters=iters),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, mp, np_), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, mp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, np_), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_b, mp, np_), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, mp, np_), jnp.float32),
-        interpret=interpret,
-    )(Zp, mup, nup)
+    z_spec = pl.BlockSpec((block_b, mp, np_), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((block_b, mp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    nu_spec = pl.BlockSpec((block_b, np_), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    if valid is None:
+        out = pl.pallas_call(
+            functools.partial(_kernel, iters=iters),
+            grid=grid,
+            in_specs=[z_spec, mu_spec, nu_spec],
+            out_specs=z_spec,
+            out_shape=jax.ShapeDtypeStruct((bp, mp, np_), jnp.float32),
+            interpret=interpret,
+        )(Zp, mup, nup)
+    else:
+        vp = jnp.zeros((bp, 128), jnp.float32)
+        vp = vp.at[:B, 0].set(valid.astype(jnp.float32))
+        v_spec = pl.BlockSpec((block_b, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_masked_kernel, iters=iters),
+            grid=grid,
+            in_specs=[v_spec, z_spec, mu_spec, nu_spec],
+            out_specs=z_spec,
+            out_shape=jax.ShapeDtypeStruct((bp, mp, np_), jnp.float32),
+            interpret=interpret,
+        )(vp, Zp, mup, nup)
     return out[:B, :m, :n]

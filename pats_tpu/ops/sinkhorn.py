@@ -108,7 +108,8 @@ def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
 
 
 def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
-                      iters: int, use_pallas: bool = False) -> jnp.ndarray:
+                      iters: int, use_pallas: bool = False,
+                      valid=None) -> jnp.ndarray:
     """Level-2/3 optimal transport where the dustbin is the last token.
 
     Semantics of reference modules.py:165-182: ``scores`` is (b, m, n) with
@@ -140,7 +141,7 @@ def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
     if use_pallas and _fits_vmem(m, n):
         from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
 
-        Z = fused_log_sinkhorn(scores, log_mu, log_nu, iters)
+        Z = fused_log_sinkhorn(scores, log_mu, log_nu, iters, valid=valid)
     else:
         Z = log_sinkhorn(scores, log_mu, log_nu, iters)
     return Z - norm[:, None, None]

@@ -28,3 +28,17 @@ def test_fused_level3_shape(rng):
     got = np.asarray(fused_log_sinkhorn(Z, mu, nu, 20, block_b=16,
                                         interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_masked_skip_matches(rng):
+    """Valid rows must be identical to the dense reference; dead trailing
+    blocks may return garbage (they are masked downstream)."""
+    b, m = 24, 33
+    Z = jnp.asarray(rng.normal(size=(b, m, m)) * 0.1, jnp.float32)
+    mu = jnp.zeros((b, m), jnp.float32)
+    valid = jnp.arange(b) < 10          # alive-first compaction
+    want = np.asarray(log_sinkhorn(Z, mu, mu, 15))
+    got = np.asarray(fused_log_sinkhorn(Z, mu, mu, 15, block_b=8,
+                                        interpret=True, valid=valid))
+    np.testing.assert_allclose(got[:10], want[:10], rtol=1e-4, atol=1e-4)
+    assert np.isfinite(got).all()
