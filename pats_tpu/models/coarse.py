@@ -142,7 +142,8 @@ class CoarseMatcher(nn.Module):
 
         res = expand_transport(plan_exp, scales[None], scales[None],
                                h, w, self.expand_iters,
-                               self.expand_lower_bound)
+                               self.expand_lower_bound,
+                               use_pallas=self.pallas_sinkhorn)
 
         return {
             "desc0": mdesc0,

@@ -137,7 +137,8 @@ class FineMatcher(nn.Module):
         plan = plan.at[:, -1, :].add(bonus)
 
         res = expand_transport(jnp.exp(plan), scale_x, scale_y, 12, 12,
-                               self.expand_iters, self.expand_lower_bound)
+                               self.expand_iters, self.expand_lower_bound,
+                               use_pallas=self.pallas_sinkhorn)
 
         cell_alive = merge_cells(res.whole_cost, patch_alive,
                                  jnp.logical_not(res.if_nomatching),

@@ -85,7 +85,9 @@ def _make_rect(satf: jnp.ndarray, h1: int, w1: int):
 
 def expand_transport(scores_exp: jnp.ndarray, scale_x: jnp.ndarray,
                      scale_y: jnp.ndarray, height: int, width: int,
-                     iter_num: int, lower_bound: float) -> ExpandResult:
+                     iter_num: int, lower_bound: float,
+                     use_pallas: bool = False,
+                     interpret: bool = False) -> ExpandResult:
     """Run the region-growing transport consumer.
 
     Args:
@@ -156,9 +158,22 @@ def expand_transport(scores_exp: jnp.ndarray, scale_x: jnp.ndarray,
         last_nm = last_nm + jnp.where(grow, best_nm, 0.0)
         return r0, r1, c0, c1, last_sum, last_nm
 
-    r0, r1, c0, c1, last_sum, last_nm = jax.lax.fori_loop(
-        0, iter_num, body,
-        (seed_r, seed_r, seed_c, seed_c, last_sum0, last_nm0))
+    if use_pallas:
+        from pats_tpu.ops.pallas.expand_kernel import fused_expand_loop
+
+        r0, r1, c0, c1, last_sum, last_nm = jax.tree.map(
+            lambda x: x.reshape(B, M),
+            fused_expand_loop(
+                sat_s.reshape(B * M, h1 * w1),
+                sat_nm.reshape(B * M, h1 * w1),
+                seed_r.reshape(B * M), seed_c.reshape(B * M),
+                last_sum0.reshape(B * M), last_nm0.reshape(B * M),
+                height, width, iter_num, lower_bound,
+                interpret=interpret))
+    else:
+        r0, r1, c0, c1, last_sum, last_nm = jax.lax.fori_loop(
+            0, iter_num, body,
+            (seed_r, seed_r, seed_c, seed_c, last_sum0, last_nm0))
 
     if_core_exist = ((r1 - r0) > 1) & ((c1 - c0) > 1)
 

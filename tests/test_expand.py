@@ -157,3 +157,22 @@ def test_expand_level1_sizes(rng):
     assert np.all(np.isfinite(pts))
     assert np.all(pts[..., 0] >= 0) and np.all(pts[..., 0] <= h)
     assert np.all(pts[..., 1] >= 0) and np.all(pts[..., 1] <= w)
+
+
+def test_expand_pallas_loop_matches(rng):
+    """The Pallas growth-loop kernel (interpret mode) must reproduce the
+    XLA loop exactly."""
+    b, h, w = 2, 5, 6
+    plan = _make_plan(rng, b, h, w)
+    sx = rng.uniform(0.5, 2.0, size=(b, h * w)).astype(np.float32)
+    ref = expand_transport(jnp.asarray(plan, jnp.float32), jnp.asarray(sx),
+                           jnp.asarray(sx), h, w, 8, 1e-3)
+    got = expand_transport(jnp.asarray(plan, jnp.float32), jnp.asarray(sx),
+                           jnp.asarray(sx), h, w, 8, 1e-3,
+                           use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.bound),
+                                  np.asarray(ref.bound))
+    np.testing.assert_allclose(np.asarray(got.whole_cost),
+                               np.asarray(ref.whole_cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.average_point),
+                               np.asarray(ref.average_point), rtol=1e-5)
