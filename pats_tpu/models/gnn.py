@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -126,8 +127,10 @@ class MultiHeadAttention(nn.Module):
             out = out.reshape(batch, self.num_heads, n, dh)
             out = out.transpose(0, 2, 1, 3).reshape(lead + (n, self.d_model))
         else:
-            # per-head contiguous channel slices: no transposes (layout
-            # shuffles dominate every other formulation on TPU - 10x)
+            # per-head contiguous channel slices: no layout shuffles.
+            # (A block-diagonal TB-grouped variant won 5x in isolation but
+            # REGRESSED the full graph by ~50% - the extra softmax volume
+            # dominates once XLA fuses the surrounding ops; keep it simple.)
             outs = []
             for h in range(self.num_heads):
                 sl = slice(h * dh, (h + 1) * dh)
