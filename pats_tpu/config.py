@@ -88,12 +88,16 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class RuntimeConfig:
-    # Fixed work capacity for levels 2/3.  None => all coarse grid slots.
-    capacity: Optional[int] = None
-    # Chunked execution of levels 2/3 (lax.map over fixed chunks) to bound
-    # memory for very large images.  None => single batch.
-    chunk_size: Optional[int] = None
-    # Mesh axis sizes; data axis shards image pairs across devices.
+    """Execution-environment knobs (mesh axis names).
+
+    Levels 2/3 always run as one fixed-capacity batch: chunked execution
+    (the reference's split_patches, utils/utils.py:152-181) was measured
+    unnecessary on TPU up to 1600-px inputs (905 ms/pair at 1024 px,
+    2690 ms/pair at 1600 px on one v5e chip with bf16 + the VMEM-guarded
+    Sinkhorn) — see STATUS.md round 1.
+    """
+
+    # Mesh axis names; data axis shards image pairs across devices.
     data_axis: str = "data"
     model_axis: str = "model"
 

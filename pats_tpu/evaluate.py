@@ -41,15 +41,46 @@ def build_dataset(cfg: PATSConfig):
     raise ValueError(f"unknown dataset {name!r}")
 
 
+def _bucket_hw(h: int, w: int, quantum: int = 64):
+    """Round a padded pair shape up to a /quantum bucket so variable-size
+    protocols (YFCC's per-pair common-max pad, data/yfcc.py:47-48) compile
+    only a handful of distinct cascade shapes instead of one per pair."""
+    q = quantum
+    return (-(-h // q) * q, -(-w // q) * q)
+
+
+def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = np.zeros((h, w) + img.shape[2:], img.dtype)
+    out[:img.shape[0], :img.shape[1]] = img
+    return out
+
+
+def _crop_pad_matches(ml, mr, h, w):
+    """Drop matches that landed in the bucket's zero-pad margin."""
+    keep = ((ml[:, 0] < h) & (ml[:, 1] < w)
+            & (mr[:, 0] < h) & (mr[:, 1] < w))
+    return ml[keep], mr[keep]
+
+
 def evaluate(matcher, dataset, scale_factor: float, threshold: float,
-             progress: bool = True, resume_path: str = None):
+             progress: bool = True, resume_path: str = None,
+             batch_size: int = 4, bucket_quantum: int = 64):
     """Evaluate pose AUC over a pair dataset.
 
+    Pairs are grouped into /``bucket_quantum`` resolution buckets and
+    matched ``batch_size`` at a time through the vmapped data-parallel
+    runner (parallel/eval.py) — on one chip batching alone is ~1.7x the
+    reference's pair-at-a-time loop (reference protocol:
+    /root/reference/evaluate.py:21-39).  Matches in a bucket's zero-pad
+    margin are dropped before pose estimation.
+
     ``resume_path``: optional JSONL shard file; each completed pair is
-    appended as {"i", "err_R", "err_t"} and already-recorded pairs are
-    skipped, so a crashed run resumes where it stopped (the reference
-    restarts from scratch, SURVEY.md par.5).
+    appended as {"i", "err_R", "err_t", "t_match_s", "bucket"} and
+    already-recorded pairs are skipped, so a crashed run resumes where it
+    stopped (the reference restarts from scratch, SURVEY.md par.5).
     """
+    import time
+
     done = {}
     fh = None
     if resume_path:
@@ -59,25 +90,73 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
                     rec = json.loads(line)
                     done[rec["i"]] = (rec["err_R"], rec["err_t"])
         fh = open(resume_path, "a")
-    err_R, err_t = [], []
+
+    runner = None
+    if batch_size > 1:
+        from pats_tpu.parallel.eval import ShardedMatcher
+        from pats_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=1)
+        per = mesh.shape[matcher.config.runtime.data_axis]
+        bs = max(batch_size // per, 1) * per
+        runner = ShardedMatcher(matcher.config, mesh, matcher.variables,
+                                batch_size=bs)
+
+    results = {}
+    n_total = len(dataset)
+    n_done = 0
+
+    def record(i, r, t, dt, bucket):
+        nonlocal n_done
+        results[i] = (r, t)
+        n_done += 1
+        if fh:
+            fh.write(json.dumps({
+                "i": i, "err_R": float(r), "err_t": float(t),
+                "t_match_s": round(dt, 4),
+                "bucket": f"{bucket[0]}x{bucket[1]}"}) + "\n")
+            fh.flush()
+        if progress and n_done % 50 == 0:
+            print(f"[{n_done}/{n_total}]", flush=True)
+
+    def flush(bucket, items):
+        h, w = bucket
+        t0 = time.time()
+        if runner is not None:
+            pairs = runner.match_batch(
+                [_pad_to(d["image0"], h, w) for _, d in items],
+                [_pad_to(d["image1"], h, w) for _, d in items])
+        else:
+            pairs = [matcher.match(_pad_to(d["image0"], h, w),
+                                   _pad_to(d["image1"], h, w))
+                     for _, d in items]
+        dt = (time.time() - t0) / len(items)
+        for (i, d), (ml, mr) in zip(items, pairs):
+            ml, mr = _crop_pad_matches(ml, mr, d["image0"].shape[0],
+                                       d["image0"].shape[1])
+            r, t = compute_pose_error(ml, mr, d["K0"], d["K1"],
+                                      d["T0"], d["T1"],
+                                      scale_factor, threshold)
+            record(i, r, t, dt, bucket)
+
+    cap = runner.batch_size if runner is not None else 1
+    buffers = {}
     for i, data in enumerate(dataset):
         if i in done:
-            r, t = done[i]
-        else:
-            ml, mr = matcher.match(data["image0"], data["image1"])
-            r, t = compute_pose_error(ml, mr, data["K0"], data["K1"],
-                                      data["T0"], data["T1"],
-                                      scale_factor, threshold)
-            if fh:
-                fh.write(json.dumps(
-                    {"i": i, "err_R": float(r), "err_t": float(t)}) + "\n")
-                fh.flush()
-        err_R.append(r)
-        err_t.append(t)
-        if progress and i % 50 == 0:
-            print(f"[{i}/{len(dataset)}]", flush=True)
+            results[i] = done[i]
+            n_done += 1
+            continue
+        bucket = _bucket_hw(data["image0"].shape[0], data["image0"].shape[1],
+                            bucket_quantum)
+        buffers.setdefault(bucket, []).append((i, data))
+        if len(buffers[bucket]) >= cap:
+            flush(bucket, buffers.pop(bucket))
+    for bucket, items in sorted(buffers.items()):
+        flush(bucket, items)
     if fh:
         fh.close()
+    err_R = [results[i][0] for i in range(n_total)]
+    err_t = [results[i][1] for i in range(n_total)]
     return aggregate_metrics(err_R, err_t)
 
 
@@ -91,6 +170,16 @@ def main(argv=None):
                         help="orbax checkpoint dir")
     parser.add_argument("--resume", type=str, default=None,
                         help="JSONL shard file for crash-resumable eval")
+    parser.add_argument("--batch-size", type=int, default=4,
+                        help="pairs matched per compiled step (1 = legacy "
+                             "pair-at-a-time loop)")
+    parser.add_argument("--bucket-quantum", type=int, default=64,
+                        help="resolution bucket granularity in px")
+    parser.add_argument("--pallas-sinkhorn", action="store_true",
+                        help="fused f32 Sinkhorn kernel (TPU; same "
+                             "numerics class as the XLA loop)")
+    parser.add_argument("--fused-attention", action="store_true",
+                        help="fused VMEM attention kernel (TPU)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (aborts on first NaN)")
     parser.add_argument("--matmul-precision", type=str, default="float32",
@@ -107,6 +196,15 @@ def main(argv=None):
         cfg = load_config(args.config)       # nested: typos raise KeyError
     else:
         cfg = reference_yaml_to_config(args.config)
+    if args.pallas_sinkhorn or args.fused_attention:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, model=_dc.replace(
+            cfg.model,
+            use_pallas_sinkhorn=args.pallas_sinkhorn or
+            cfg.model.use_pallas_sinkhorn,
+            use_fused_attention=args.fused_attention or
+            cfg.model.use_fused_attention))
 
     random.seed(cfg.eval.seed)
     np.random.seed(cfg.eval.seed)
@@ -135,7 +233,8 @@ def main(argv=None):
 
     dataset = build_dataset(cfg)
     metric = evaluate(matcher, dataset, args.scale_factor, cfg.eval.threshold,
-                      resume_path=args.resume)
+                      resume_path=args.resume, batch_size=args.batch_size,
+                      bucket_quantum=args.bucket_quantum)
     print("-" * 5 + f"Evaluation on {cfg.eval.dataset}" + "-" * 5)
     for key, value in metric.items():
         print(f"{key}: {value}")

@@ -114,18 +114,15 @@ class MultiHeadAttention(nn.Module):
             batch *= s
         scale = 1.0 / jnp.sqrt(jnp.asarray(dh, q.dtype))
 
-        if self.fused and n <= 256 and batch * self.num_heads >= 64:
+        if self.fused and n <= 256 and batch >= 16:
             from pats_tpu.ops.pallas.attention_kernel import fused_attention
 
-            def to_bh(x):
-                x = x.reshape((batch, n, self.num_heads, dh))
-                return x.transpose(0, 2, 1, 3).reshape(-1, n, dh)
-
-            block_b = 32 if n <= 80 else 8
-            out = fused_attention(to_bh(q), to_bh(k), to_bh(v),
-                                  1.0 / float(dh) ** 0.5, block_b=block_b)
-            out = out.reshape(batch, self.num_heads, n, dh)
-            out = out.transpose(0, 2, 1, 3).reshape(lead + (n, self.d_model))
+            out = fused_attention(
+                q.reshape((batch, n, self.d_model)),
+                k.reshape((batch, n, self.d_model)),
+                v.reshape((batch, n, self.d_model)),
+                float(1.0 / float(dh) ** 0.5), nheads=self.num_heads)
+            out = out.reshape(lead + (n, self.d_model))
         else:
             # per-head contiguous channel slices: no layout shuffles.
             # (A block-diagonal TB-grouped variant won 5x in isolation but

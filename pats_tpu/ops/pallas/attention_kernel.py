@@ -1,15 +1,25 @@
-"""Fused small-N attention Pallas kernel.
+"""Fused small-N multi-head attention Pallas kernels.
 
-The cascade's fine/refine GNNs run attention over SHORT token sequences
-(145 / 65) with HUGE batch (patches x heads): XLA materializes the
-(B, N, N) probability tensor in HBM between the two matmuls, making the
-levels memory-bound (~5 GB/layer at level 3).  This kernel computes
-scores -> softmax -> weighted sum entirely in VMEM per batch tile,
-reducing HBM traffic to the q/k/v reads and the output write.
+The cascade's GNNs (reference models/modules.py:84-105) run attention over
+SHORT token sequences (65 / 145) with HUGE batch (patches x 2 images):
+XLA materializes the (B, H, N, N) probability tensor in HBM between the
+two matmuls and splits every layer into per-head ops, making levels 2/3
+memory-bound.  These kernels keep scores -> softmax -> weighted sum in
+VMEM per batch tile so HBM traffic is just the q/k/v reads + output write.
 
-Layout: q, k, v are (B, N, dh) with heads already folded into B.  N and dh
-are padded to tile-friendly sizes; padded key columns are masked with -1e30
-before the softmax.
+Mosaic quirk on this platform: a BATCHED ``lax.dot_general`` inside a
+kernel executes pathologically slowly (~70 s for a trivial case), so the
+kernels below use ONLY 2-D dots.  Per batch item, all H heads are computed
+with a single 2-D dot pair via a block-column expansion ("kexp"): the key
+matrix (N, D) is replicated per head and masked so head h keeps only its
+own channel block [h*dh, (h+1)*dh).  Then
+
+    scores2 = q (N, D) @ kexp^T (D, H*N)   # [i, h*N+j] = q_h[i] . k_h[j]
+    probs2  = softmax over each N-column block (f32)
+    out     = probs2 (N, H*N) @ vexp (H*N, D)
+
+``out`` lands with head h's values exactly in channel block h — the
+standard concat-heads layout — with zero gather/scatter work.
 """
 
 from __future__ import annotations
@@ -26,45 +36,88 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int, scale: float):
-    q = q_ref[:].astype(jnp.float32)          # (TB, Np, Dp)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale      # (TB, Np, Np)
-    np_ = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
-    s = jnp.where(col < n_real, s, -1e30)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (TB, Np, Dp)
-    o_ref[:] = o.astype(o_ref.dtype)
+def _expand_heads(x, nheads: int, dh: int):
+    """(Np, D) -> (H*Np, D) where row h*Np+j keeps only channels of head h."""
+    np_, d = x.shape
+    x4 = jnp.broadcast_to(x[None], (nheads, np_, d))
+    head = jax.lax.broadcasted_iota(jnp.int32, (nheads, np_, d), 0)
+    chan = jax.lax.broadcasted_iota(jnp.int32, (nheads, np_, d), 2)
+    x4 = jnp.where(chan // dh == head, x4, 0)
+    return x4.reshape(nheads * np_, d)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("scale", "block_b", "interpret"))
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, tb: int, n_real: int,
+            nheads: int, dh: int, scale: float):
+    np_ = q_ref.shape[1]
+    d = q_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nheads * np_), 1) % np_
+    key_pad = col >= n_real                       # padded key tokens
+    for t in range(tb):                           # unrolled: 2-D dots only
+        q = q_ref[t]                              # (Np, D)
+        kexp = _expand_heads(k_ref[t], nheads, dh)
+        vexp = _expand_heads(v_ref[t], nheads, dh)
+        s = jax.lax.dot_general(
+            q, kexp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (Np, H*Np)
+        s = jnp.where(key_pad, -1e30, s)
+        # per-(row, head-block) softmax; static 2-D column slices (Mosaic
+        # cannot shape-cast (Np, H*Np) -> (Np, H, Np))
+        parts = []
+        for h in range(nheads):
+            sh = s[:, h * np_:(h + 1) * np_]
+            sh = sh - jnp.max(sh, axis=-1, keepdims=True)
+            e = jnp.exp(sh)
+            parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        p = jnp.concatenate(parts, axis=1)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), vexp,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (Np, D)
+        o_ref[t] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nheads", "scale", "block_b",
+                                             "interpret"))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    scale: float, block_b: int = 16,
+                    scale: float, nheads: int = 4, block_b: int = None,
                     interpret: bool = False) -> jnp.ndarray:
-    """softmax(q k^T * scale) v for (B, N, dh) inputs, fused in VMEM."""
+    """Multi-head softmax(q k^T * scale) v for (B, N, D) inputs.
+
+    Heads split the channel dim contiguously (head-major layout, dh = D /
+    nheads); the output is the concat-heads layout ready for the merge
+    projection.  All compute per batch tile stays in VMEM.  ``block_b``
+    defaults to a VMEM-budgeted tile (measured: tb=16 at the L3 shape is
+    2x tb=8; tb=16 at the L2 shape exceeds VMEM).
+    """
     B, N, D = q.shape
-    Np = _round_up(N, 8)
+    dh = D // nheads
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    Np = _round_up(N, sub)
     Dp = _round_up(D, 128)
+    if block_b is None:
+        # ~4 MB across the q/k/v/o tiles, leaving room for double
+        # buffering + per-item f32 score temporaries
+        block_b = max(4, min(16, (4 << 20) // (Np * Dp * 8)))
     Bp = _round_up(B, block_b)
+    if Dp != D:          # kexp masking assumes real channels only
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Dp - D)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Dp - D)))
+        # padded channels belong to no head: map them to head index H
+        # (handled naturally since chan // dh >= nheads there as long as
+        # D == nheads * dh; otherwise padded channels would alias head 0)
+        assert D == nheads * dh
 
     def pad(x):
-        return jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, Dp - D)))
+        return jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, 0)))
 
     qp, kp, vp = pad(q), pad(k), pad(v)
     grid = (Bp // block_b,)
     spec = pl.BlockSpec((block_b, Np, Dp), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_real=N, scale=scale),
+        functools.partial(_kernel, tb=block_b, n_real=N, nheads=nheads,
+                          dh=dh, scale=scale),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,

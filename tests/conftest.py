@@ -24,6 +24,21 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules whose tests are compile-heavy (>10 s each on CPU).  The default
+# run (pytest.ini addopts) skips these; `pytest -m ""` runs everything.
+_SLOW_MODULES = {
+    "test_cascade", "test_convert_full", "test_semantic_stability",
+    "test_parallel", "test_sp_coarse", "test_sharded_eval",
+    "test_training_learns", "test_fine_trainer", "test_refine_trainer",
+    "test_reference_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
