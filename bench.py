@@ -45,7 +45,8 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     mc = dataclasses.replace(ModelConfig(), use_bfloat16=True,
-                             use_pallas_sinkhorn=on_tpu)
+                             use_pallas_sinkhorn=on_tpu,
+                             use_fused_attention=on_tpu)
     model = PATSCascade(config=mc, outdoor=True, merge_new=True)
 
     rng = np.random.default_rng(18027)
