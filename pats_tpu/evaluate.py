@@ -62,6 +62,14 @@ def _crop_pad_matches(ml, mr, h, w):
     return ml[keep], mr[keep]
 
 
+# HBM budget for one compiled cascade step, expressed in coarse grid
+# cells x pairs (the refine trunk/FPN temporaries scale with that
+# product).  Measured on one 16G v5e: f32 fits 2x300 cells, OOMs at
+# 4x300 (24.3G); bf16 fits 4x300 and a 1x1900-cell 1600-px pair.
+_F32_CELL_BUDGET = 640
+_BF16_CELL_BUDGET = 2048
+
+
 def evaluate(matcher, dataset, scale_factor: float, threshold: float,
              progress: bool = True, resume_path: str = None,
              batch_size: int = 4, bucket_quantum: int = 64):
@@ -119,13 +127,26 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
         if progress and n_done % 50 == 0:
             print(f"[{n_done}/{n_total}]", flush=True)
 
+    budget = (_BF16_CELL_BUDGET if matcher.config.model.use_bfloat16
+              else _F32_CELL_BUDGET)
+
+    def bucket_batch(bucket):
+        """Per-bucket batch cap so batch x grid-cells stays in HBM."""
+        cells = (bucket[0] // 32) * (bucket[1] // 32)
+        return max(1, min(cap, budget // cells))
+
     def flush(bucket, items):
         h, w = bucket
         t0 = time.time()
         if runner is not None:
-            pairs = runner.match_batch(
-                [_pad_to(d["image0"], h, w) for _, d in items],
-                [_pad_to(d["image1"], h, w) for _, d in items])
+            pairs = []
+            per = bucket_batch(bucket)
+            for s in range(0, len(items), per):
+                chunk = items[s:s + per]
+                pairs += runner.match_batch(
+                    [_pad_to(d["image0"], h, w) for _, d in chunk],
+                    [_pad_to(d["image1"], h, w) for _, d in chunk],
+                    batch_size=per)
         else:
             pairs = [matcher.match(_pad_to(d["image0"], h, w),
                                    _pad_to(d["image1"], h, w))

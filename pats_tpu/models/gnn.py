@@ -100,8 +100,10 @@ class MultiHeadAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, query, key, value):
-        # (..., N, D) tokens
+    def __call__(self, query, key, value, item_alive=None):
+        # (..., N, D) tokens; item_alive: optional per-tokenset mask with
+        # shape == the leading dims (dead items skip compute in the fused
+        # kernel and output zeros — they are masked downstream anyway)
         dh = self.d_model // self.num_heads
         q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(query)
         k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(key)
@@ -121,7 +123,9 @@ class MultiHeadAttention(nn.Module):
                 q.reshape((batch, n, self.d_model)),
                 k.reshape((batch, n, self.d_model)),
                 v.reshape((batch, n, self.d_model)),
-                float(1.0 / float(dh) ** 0.5), nheads=self.num_heads)
+                float(1.0 / float(dh) ** 0.5), nheads=self.num_heads,
+                alive=None if item_alive is None
+                else item_alive.reshape(batch))
             out = out.reshape(lead + (n, self.d_model))
         else:
             # per-head contiguous channel slices: no layout shuffles.
@@ -152,10 +156,15 @@ class AttentionalPropagation(nn.Module):
     @nn.compact
     def __call__(self, x, source, mask: Optional[jnp.ndarray] = None,
                  group_axes: tuple = ()):
+        # the BN mask is per token-set (e.g. (2, G)); when it matches the
+        # attention's leading dims exactly it doubles as the dead-item skip
+        item_alive = None
+        if mask is not None and mask.shape == x.shape[:-2]:
+            item_alive = mask
         message = MultiHeadAttention(self.d_model, self.num_heads,
                                      fused=self.fused,
                                      dtype=self.dtype, name="attn")(
-            x, source, source)
+            x, source, source, item_alive=item_alive)
         y = jnp.concatenate([x, message], axis=-1)
         return MLPStack((self.d_model * 2, self.d_model),
                         use_running_average=self.use_running_average,

@@ -20,6 +20,11 @@ own channel block [h*dh, (h+1)*dh).  Then
 
 ``out`` lands with head h's values exactly in channel block h — the
 standard concat-heads layout — with zero gather/scatter work.
+
+Dead-item skip: levels 2/3 run at fixed capacity with alive items sorted
+first (models/cascade.py); given the per-item ``alive`` mask the kernel
+skips both dots for dead items and writes zeros, so attention cost scales
+with occupancy, not capacity.
 """
 
 from __future__ import annotations
@@ -46,40 +51,52 @@ def _expand_heads(x, nheads: int, dh: int):
     return x4.reshape(nheads * np_, d)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, tb: int, n_real: int,
+def _kernel(alive_ref, q_ref, k_ref, v_ref, o_ref, *, tb: int, n_real: int,
             nheads: int, dh: int, scale: float):
+    # alive_ref: scalar-prefetched (n_tiles,) any-item-alive flags.
+    # Tile granularity keeps Mosaic's predication cost to ONE branch per
+    # grid step (per-item @pl.when made compiles pathologically slow);
+    # alive-first compaction means at most one mixed tile per call.
     np_ = q_ref.shape[1]
-    d = q_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nheads * np_), 1) % np_
     key_pad = col >= n_real                       # padded key tokens
-    for t in range(tb):                           # unrolled: 2-D dots only
-        q = q_ref[t]                              # (Np, D)
-        kexp = _expand_heads(k_ref[t], nheads, dh)
-        vexp = _expand_heads(v_ref[t], nheads, dh)
-        s = jax.lax.dot_general(
-            q, kexp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (Np, H*Np)
-        s = jnp.where(key_pad, -1e30, s)
-        # per-(row, head-block) softmax; static 2-D column slices (Mosaic
-        # cannot shape-cast (Np, H*Np) -> (Np, H, Np))
-        parts = []
-        for h in range(nheads):
-            sh = s[:, h * np_:(h + 1) * np_]
-            sh = sh - jnp.max(sh, axis=-1, keepdims=True)
-            e = jnp.exp(sh)
-            parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
-        p = jnp.concatenate(parts, axis=1)
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), vexp,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (Np, D)
-        o_ref[t] = o.astype(o_ref.dtype)
+    tile_alive = alive_ref[pl.program_id(0)]
+
+    @pl.when(tile_alive == 0)
+    def _dead():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(tile_alive != 0)
+    def _compute():
+        for t in range(tb):                       # unrolled: 2-D dots only
+            q = q_ref[t]                          # (Np, D)
+            kexp = _expand_heads(k_ref[t], nheads, dh)
+            vexp = _expand_heads(v_ref[t], nheads, dh)
+            s = jax.lax.dot_general(
+                q, kexp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # (Np, H*Np)
+            s = jnp.where(key_pad, -1e30, s)
+            # per-(row, head-block) softmax; static 2-D column slices
+            # (Mosaic cannot shape-cast (Np, H*Np) -> (Np, H, Np))
+            parts = []
+            for h in range(nheads):
+                sh = s[:, h * np_:(h + 1) * np_]
+                sh = sh - jnp.max(sh, axis=-1, keepdims=True)
+                e = jnp.exp(sh)
+                parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
+            p = jnp.concatenate(parts, axis=1)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), vexp,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (Np, D)
+            o_ref[t] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nheads", "scale", "block_b",
                                              "interpret"))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, nheads: int = 4, block_b: int = None,
+                    alive: jnp.ndarray = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Multi-head softmax(q k^T * scale) v for (B, N, D) inputs.
 
@@ -88,6 +105,11 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     projection.  All compute per batch tile stays in VMEM.  ``block_b``
     defaults to a VMEM-budgeted tile (measured: tb=16 at the L3 shape is
     2x tb=8; tb=16 at the L2 shape exceeds VMEM).
+
+    ``alive``: optional (B,) bool/int mask; tiles whose items are all
+    dead skip both matmuls and output zeros (their tokens are masked
+    downstream anyway).  With the cascade's alive-first compaction the
+    cost scales with occupancy, not capacity.
     """
     B, N, D = q.shape
     dh = D // nheads
@@ -103,25 +125,31 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, Dp - D)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, Dp - D)))
-        # padded channels belong to no head: map them to head index H
-        # (handled naturally since chan // dh >= nheads there as long as
-        # D == nheads * dh; otherwise padded channels would alias head 0)
+        # padded channels belong to no head (chan // dh >= nheads there,
+        # which requires the real channels to split exactly)
         assert D == nheads * dh
+
+    if alive is None:
+        alive_i = jnp.ones((Bp // block_b,), jnp.int32)
+    else:
+        alive_i = jnp.pad(alive.astype(jnp.int32), (0, Bp - B))
+        alive_i = alive_i.reshape(Bp // block_b, block_b).max(axis=1)
 
     def pad(x):
         return jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, 0)))
 
     qp, kp, vp = pad(q), pad(k), pad(v)
-    grid = (Bp // block_b,)
-    spec = pl.BlockSpec((block_b, Np, Dp), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((block_b, Np, Dp), lambda i, a: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, tb=block_b, n_real=N, nheads=nheads,
                           dh=dh, scale=scale),
-        grid=grid,
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // block_b,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec),
         out_shape=jax.ShapeDtypeStruct((Bp, Np, Dp), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(alive_i, qp, kp, vp)
     return out[:B, :N, :D]

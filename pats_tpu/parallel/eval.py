@@ -55,17 +55,23 @@ class ShardedMatcher:
                 out_shardings=self.replicated)
         return self._fns[shape]
 
-    def match_batch(self, images0, images1
+    def match_batch(self, images0, images1,
+                    batch_size: Optional[int] = None
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """images0/images1: (B, H, W, 3) arrays (B <= batch_size; padded
-        internally).  Returns per-pair compacted (ml, mr) host arrays."""
+        internally).  ``batch_size`` overrides the construction-time batch
+        for this call (rounded up to a multiple of the data-axis size) —
+        large-resolution buckets use smaller batches to bound the cascade's
+        HBM footprint.  Returns per-pair compacted (ml, mr) host arrays."""
         B = len(images0)
-        BS = self.batch_size
+        data = self.mesh.shape[self.config.runtime.data_axis]
+        BS = batch_size or self.batch_size
+        BS = -(-max(BS, B) // data) * data
         left = np.zeros((BS,) + np.shape(images0[0]), np.float32)
         right = np.zeros_like(left)
         left[:B] = images0
         right[:B] = images1
-        fn = self._fn(left.shape[1:3])
+        fn = self._fn(left.shape[:3])
         ml, mr, valid = fn(self.variables,
                            jax.device_put(left, self.batch_sharding),
                            jax.device_put(right, self.batch_sharding))

@@ -41,6 +41,9 @@ class _StubMatcher:
             class runtime:
                 data_axis = "data"
 
+            class model:
+                use_bfloat16 = False
+
         self.config = _Cfg()
         self.variables = {}
 
@@ -99,7 +102,7 @@ def test_bucketed_loop_batched(monkeypatch):
         def __init__(self, config, mesh, variables, batch_size):
             self.batch_size = batch_size
 
-        def match_batch(self, ims0, ims1):
+        def match_batch(self, ims0, ims1, batch_size=None):
             calls.append([im.shape[:2] for im in ims0])
             g = np.stack(np.meshgrid(np.arange(8, 48, 8),
                                      np.arange(8, 48, 8),

@@ -59,3 +59,23 @@ def test_fused_attention_bf16(rng):
         block_b=8, interpret=True)).astype(np.float32)
     want = mha_reference(q, k, v, scale, heads)
     np.testing.assert_allclose(got, want, rtol=0.1, atol=0.05)
+
+
+def test_fused_attention_alive_skip(rng):
+    b, n, d, heads = 24, 65, 128, 4
+    q = rng.normal(size=(b, n, d)).astype(np.float32)
+    k = rng.normal(size=(b, n, d)).astype(np.float32)
+    v = rng.normal(size=(b, n, d)).astype(np.float32)
+    alive = np.zeros(b, bool)
+    alive[:10] = True            # alive-first, like the cascade compaction
+    scale = 1.0 / np.sqrt(d // heads)
+    got = np.asarray(fused_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), float(scale),
+                                     nheads=heads, block_b=8,
+                                     alive=jnp.asarray(alive),
+                                     interpret=True))
+    want = mha_reference(q, k, v, scale, heads)
+    # tile granularity (block_b=8): the mixed tile [8:16) computes all
+    # its items; the fully-dead tile [16:24) is skipped and zeroed
+    np.testing.assert_allclose(got[:16], want[:16], rtol=1e-4, atol=1e-5)
+    assert (got[16:] == 0).all()
