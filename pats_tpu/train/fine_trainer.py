@@ -21,6 +21,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pats_tpu.config import PATSConfig
+from pats_tpu.train.optim import make_optimizer
 from pats_tpu.models.cascade import _subdivide
 from pats_tpu.models.coarse import CoarseMatcher
 from pats_tpu.models.fine import FineMatcher
@@ -54,7 +55,9 @@ def _crop_cell_source_index(gh: int, gw: int):
 
 class FineTrainer:
     def __init__(self, cfg: PATSConfig, mesh: Mesh,
-                 learning_rate: float = 1e-4, outdoor: bool = True):
+                 learning_rate: float = 1e-4, outdoor: bool = True,
+                 total_steps: int = None, warmup_steps: int = 0,
+                 clip_norm: float = 1.0):
         self.cfg = cfg
         self.mesh = mesh
         self.outdoor = outdoor
@@ -72,18 +75,28 @@ class FineTrainer:
             expand_iters=f.expand_iters,
             expand_lower_bound=f.expand_lower_bound,
             use_running_average=False)       # batch statistics in training
-        self.tx = optax.adam(learning_rate)
+        self.tx = make_optimizer(learning_rate, total_steps=total_steps,
+                                 warmup_steps=warmup_steps,
+                                 clip_norm=clip_norm)
         self.batch_sharding = NamedSharding(mesh, P(cfg.runtime.data_axis))
         self.replicated = NamedSharding(mesh, P())
 
-    def init(self, rng, coarse_variables, left, right) -> TrainState:
-        """coarse_variables: trained/converted coarse level (frozen)."""
+    def init(self, rng, coarse_variables, left, right,
+             resnet34_sd=None) -> TrainState:
+        """coarse_variables: trained/converted coarse level (frozen).
+        ``resnet34_sd``: optional resnet34-style state dict; overlays the
+        pretrained stem+layer1+layer2 onto the trunk like the reference
+        (second_layer.py:26-30) via io/pretrained.py."""
         self.coarse_variables = jax.device_put(coarse_variables,
                                                self.replicated)
         crops, desc, alive, *_ = self._front(coarse_variables, left, right)
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
         variables = self.fine.init(rng, crops[0], crops[1], desc, alive,
                                    gh, gw, self.outdoor, True)
+        if resnet34_sd is not None:
+            from pats_tpu.io.pretrained import init_trunk_from_resnet34
+            variables = init_trunk_from_resnet34(dict(variables),
+                                                 resnet34_sd)
         state = TrainState(variables["params"],
                            variables.get("batch_stats", {}),
                            self.tx.init(variables["params"]),

@@ -1,0 +1,42 @@
+"""Shared optimizer factory for the three level trainers.
+
+The reference never shipped training code (SURVEY.md par.3.4); its
+released checkpoints were trained with Adam.  This factory hardens the
+TPU trainers for real runs: global-norm gradient clipping (the round-1
+multichip dryrun measured grad_norm ~2.3e6 on random init) and a
+warmup + cosine-decay schedule, both standard for matcher training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+
+def make_optimizer(learning_rate: float = 1e-4,
+                   total_steps: Optional[int] = None,
+                   warmup_steps: int = 0,
+                   clip_norm: Optional[float] = 1.0,
+                   weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Adam(W) with global-norm clipping and optional warmup-cosine decay.
+
+    ``total_steps=None`` keeps a constant learning rate (the smoke-test
+    configuration); passing it enables linear warmup over
+    ``warmup_steps`` then cosine decay to 1e-2 x peak.  ``clip_norm=None``
+    disables clipping.
+    """
+    if total_steps is not None:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else learning_rate,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=learning_rate * 1e-2)
+    else:
+        schedule = learning_rate
+    opt = (optax.adamw(schedule, weight_decay=weight_decay)
+           if weight_decay else optax.adam(schedule))
+    if clip_norm is None:
+        return opt
+    return optax.chain(optax.clip_by_global_norm(clip_norm), opt)

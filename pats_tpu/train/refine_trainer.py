@@ -18,6 +18,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pats_tpu.config import PATSConfig
+from pats_tpu.train.optim import make_optimizer
 from pats_tpu.models.refine import SubpixelRefiner
 from pats_tpu.train.fine_trainer import FineTrainer
 from pats_tpu.train.trainer import TrainState
@@ -27,7 +28,9 @@ class RefineTrainer:
     """Shares the frozen front-end machinery with FineTrainer."""
 
     def __init__(self, cfg: PATSConfig, mesh: Mesh,
-                 learning_rate: float = 1e-4, outdoor: bool = True):
+                 learning_rate: float = 1e-4, outdoor: bool = True,
+                 total_steps: int = None, warmup_steps: int = 0,
+                 clip_norm: float = 1.0):
         self.cfg = cfg
         self.outdoor = outdoor
         self.front = FineTrainer(cfg, mesh, outdoor=outdoor)
@@ -38,7 +41,9 @@ class RefineTrainer:
             window=r.window, padded_map=r.padded_map,
             neighborhood=r.neighborhood,
             use_running_average=False)
-        self.tx = optax.adam(learning_rate)
+        self.tx = make_optimizer(learning_rate, total_steps=total_steps,
+                                 warmup_steps=warmup_steps,
+                                 clip_norm=clip_norm)
         self.batch_sharding = NamedSharding(mesh, P(cfg.runtime.data_axis))
         self.replicated = NamedSharding(mesh, P())
 
@@ -63,13 +68,20 @@ class RefineTrainer:
         return (crops, out["tokens0"], out["tokens1"], pid, cell, tgt,
                 valid, alive, crop_scale, center)
 
-    def init(self, rng, coarse_vars, fine_vars, left, right) -> TrainState:
+    def init(self, rng, coarse_vars, fine_vars, left, right,
+             resnet34_sd=None) -> TrainState:
+        """``resnet34_sd``: optional resnet34-style state dict; overlays
+        the pretrained trunk like the reference (third_layer.py:99-103)."""
         self.coarse_vars = jax.device_put(coarse_vars, self.replicated)
         self.fine_vars = jax.device_put(fine_vars, self.replicated)
         crops, t0, t1, pid, cell, tgt, valid, alive, *_ = self._points(
             coarse_vars, fine_vars, left, right)
         variables = self.refine.init(rng, crops[0], crops[1], t0, t1,
                                      pid, cell, tgt, valid, alive)
+        if resnet34_sd is not None:
+            from pats_tpu.io.pretrained import init_trunk_from_resnet34
+            variables = init_trunk_from_resnet34(dict(variables),
+                                                 resnet34_sd)
         state = TrainState(variables["params"],
                            variables.get("batch_stats", {}),
                            self.tx.init(variables["params"]),

@@ -26,6 +26,7 @@ from pats_tpu.config import PATSConfig
 from pats_tpu.models.coarse import CoarseMatcher
 from pats_tpu.ops.expand import ExpandResult
 from pats_tpu.train.losses import LevelLabels, transport_level_loss
+from pats_tpu.train.optim import make_optimizer
 
 
 class TrainState(NamedTuple):
@@ -48,11 +49,15 @@ def _training_model(cfg: PATSConfig) -> CoarseMatcher:
 
 class CoarseTrainer:
     def __init__(self, cfg: PATSConfig, mesh: Mesh,
-                 learning_rate: float = 1e-4):
+                 learning_rate: float = 1e-4,
+                 total_steps: int = None, warmup_steps: int = 0,
+                 clip_norm: float = 1.0):
         self.cfg = cfg
         self.mesh = mesh
         self.model = _training_model(cfg)
-        self.tx = optax.adam(learning_rate)
+        self.tx = make_optimizer(learning_rate, total_steps=total_steps,
+                                 warmup_steps=warmup_steps,
+                                 clip_norm=clip_norm)
         data_axis = cfg.runtime.data_axis
         self.batch_sharding = NamedSharding(mesh, P(data_axis))
         self.replicated = NamedSharding(mesh, P())

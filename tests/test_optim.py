@@ -1,0 +1,42 @@
+"""Optimizer factory: clipping and schedule behavior."""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pats_tpu.train.optim import make_optimizer
+
+
+def test_clipping_bounds_update():
+    tx = make_optimizer(1e-2, clip_norm=1.0)
+    params = {"w": jnp.zeros(4)}
+    opt = tx.init(params)
+    huge = {"w": jnp.full(4, 1e6)}
+    upd, _ = tx.update(huge, opt, params)
+    # post-clip gradient norm 1 -> adam step magnitude <= lr per coord
+    assert float(optax.global_norm(upd)) < 1.0
+
+
+def test_warmup_cosine_progression():
+    tx = make_optimizer(1e-3, total_steps=100, warmup_steps=10,
+                        clip_norm=None)
+    params = {"w": jnp.ones(2)}
+    opt = tx.init(params)
+    g = {"w": jnp.ones(2)}
+
+    def norm_at(opt, n):
+        for _ in range(n):
+            upd, opt = tx.update(g, opt, params)
+        return float(optax.global_norm(upd)), opt
+
+    first, opt = norm_at(opt, 1)      # step 0: zero lr under warmup
+    assert first == 0.0
+    mid, opt = norm_at(opt, 10)       # past warmup: real steps
+    assert mid > 0.0
+
+
+def test_no_clip_passthrough():
+    tx = make_optimizer(1e-3, clip_norm=None)
+    params = {"w": jnp.zeros(2)}
+    upd, _ = tx.update({"w": jnp.ones(2)}, tx.init(params), params)
+    assert float(optax.global_norm(upd)) > 0
