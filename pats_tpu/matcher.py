@@ -84,3 +84,28 @@ class Matcher:
         ml = np.asarray(out["matches_l"])[valid]
         mr = np.asarray(out["matches_r"])[valid]
         return ml, mr
+
+    def embed(self, image) -> np.ndarray:
+        """Single-image global descriptor for place recognition (loop
+        closure): coarse-trunk features, spatially mean-pooled and
+        L2-normalized.  Uses only this image (unlike the GNN descriptors,
+        which are cross-conditioned on the pair)."""
+        from pats_tpu.models.backbone import CoarseTrunk
+        from pats_tpu.models.coarse import imagenet_normalize
+
+        shape = ("embed",) + tuple(np.shape(image)[:2])
+        if shape not in self._fns:
+            trunk = CoarseTrunk()
+
+            def efn(variables, img):
+                feats = trunk.apply(
+                    {"params": variables["params"]["coarse"]["trunk"],
+                     "batch_stats":
+                         variables["batch_stats"]["coarse"]["trunk"]},
+                    imagenet_normalize(img[None]))
+                v = jnp.mean(feats.astype(jnp.float32), axis=(0, 1, 2))
+                return v / (jnp.linalg.norm(v) + 1e-8)
+
+            self._fns[shape] = jax.jit(efn)
+        return np.asarray(self._fns[shape](
+            self.variables, jnp.asarray(image, jnp.float32)))

@@ -8,7 +8,9 @@ the Schur-complement BA.
 
 This is deliberately simple, deterministic scaffolding for the north-star
 engine: fixed-capacity observation arrays, explicit world-to-camera
-poses, no loop closure yet (STATUS.md round-2 item).
+poses.  Loop closure lives in slam/loopclosure.py (retrieval over
+keyframe descriptors + RANSAC verification + pose-graph optimization)
+and is reached via ``close_loops``.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ class Keyframe:
     R: np.ndarray                  # (3, 3) world->cam
     t: np.ndarray                  # (3,)
     image: Optional[np.ndarray] = None
+    descriptor: Optional[np.ndarray] = None   # place-recognition gdesc
 
 
 @dataclass
@@ -41,11 +44,23 @@ class KeyframeGraph:
     obs_cam: List[int] = field(default_factory=list)
     obs_pt: List[int] = field(default_factory=list)
     obs_uv: List[np.ndarray] = field(default_factory=list)      # normalized
+    # sequential odometry measurements (i, j, R_ij, t_ij_unit, weight)
+    # kept for pose-graph optimization at loop closure
+    odo_edges: List[tuple] = field(default_factory=list)
 
-    def add_first(self, image: Optional[np.ndarray] = None) -> Keyframe:
-        kf = Keyframe(0, np.eye(3), np.zeros(3), image)
+    def add_first(self, image: Optional[np.ndarray] = None,
+                  matcher=None) -> Keyframe:
+        kf = Keyframe(0, np.eye(3), np.zeros(3), image,
+                      self._embed(matcher, image))
         self.keyframes.append(kf)
         return kf
+
+    @staticmethod
+    def _embed(matcher, image):
+        if matcher is not None and image is not None \
+                and hasattr(matcher, "embed"):
+            return matcher.embed(image)
+        return None
 
     def track(self, matcher, image: np.ndarray,
               threshold_px: float = 0.5) -> Tuple[bool, Optional[Keyframe]]:
@@ -63,10 +78,14 @@ class KeyframeGraph:
         if ratio >= self.min_inlier_ratio and len(self.keyframes) > 1:
             return True, None
         # chain pose (unit-scale baseline) and spawn a keyframe
+        t_unit = t_rel / max(np.linalg.norm(t_rel), 1e-9)
         R_new = R_rel @ last.R
-        t_new = R_rel @ last.t + t_rel / max(np.linalg.norm(t_rel), 1e-9)
-        kf = Keyframe(len(self.keyframes), R_new, t_new, image)
+        t_new = R_rel @ last.t + t_unit
+        kf = Keyframe(len(self.keyframes), R_new, t_new, image,
+                      self._embed(matcher, image))
         self.keyframes.append(kf)
+        self.odo_edges.append((last.index, kf.index, np.asarray(R_rel),
+                               np.asarray(t_unit), 1.0))
         self._triangulate_pair(last, kf, ml, mr)
         return True, kf
 
@@ -113,6 +132,13 @@ class KeyframeGraph:
         for j in range(len(self.landmarks)):
             self.landmarks[j] = X[j]
         return float(np.asarray(hist)[-1])
+
+    def close_loops(self, matcher, **kwargs):
+        """Detect/verify loop closures and correct poses with PGO; see
+        slam/loopclosure.close_loops.  Returns accepted (i, j) edges."""
+        from pats_tpu.slam.loopclosure import close_loops
+
+        return close_loops(self, matcher, **kwargs)
 
     def trajectory(self) -> np.ndarray:
         """(N, 3) camera centers."""

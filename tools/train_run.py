@@ -1,0 +1,143 @@
+"""Multi-hundred-step coarse training run with a precision curve.
+
+Trains the coarse matcher from scratch on self-supervised homography
+warps of procedural textures (train/synthetic.py) and tracks
+correspondence precision on held-out warp pairs: a grid cell counts as
+correct when its predicted right-image point lands within half a patch
+of the homography-mapped left cell center.
+
+Run on the TPU (several minutes):
+    python tools/train_run.py --steps 600 --out /tmp/train_curve.jsonl
+
+Emits one JSON line per eval interval:
+    {"step": N, "loss": .., "grad_norm": .., "precision": ..,
+     "n_alive": ..}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def textured_images(rng, n, h, w):
+    import cv2
+
+    imgs = []
+    for _ in range(n):
+        base = rng.uniform(0, 255, (h // 8, w // 8, 3)).astype(np.float32)
+        img = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+        imgs.append(np.clip(img, 0, 255).astype(np.uint8))
+    return imgs
+
+
+def coarse_precision(model, params, batch_stats, pairs, rng_key,
+                     threshold_px=16.0):
+    """Precision of the coarse level's per-cell predicted points."""
+    import jax
+    import jax.numpy as jnp
+
+    n_ok = n_alive = 0
+    for ex in pairs:
+        out, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(ex["left"]), jnp.asarray(ex["right"]),
+            mutable=["batch_stats"], rngs={"dropout": rng_key})
+        pts = np.asarray(out["pts"], np.float64) * 32.0     # (G, 2) px
+        alive = np.asarray(out["alive"])
+        h, w = out["grid"]
+        r, c = np.divmod(np.arange(h * w), w)
+        centers = np.stack([(c + 0.5) * 32, (r + 0.5) * 32,
+                            np.ones(h * w)], axis=1)        # x, y, 1
+        proj = centers @ np.asarray(ex["H"], np.float64).T
+        gt = proj[:, :2] / proj[:, 2:3]                     # x, y px
+        err = np.hypot(pts[:, 1] - gt[:, 0], pts[:, 0] - gt[:, 1])
+        inside = ((gt[:, 0] >= 0) & (gt[:, 0] < w * 32)
+                  & (gt[:, 1] >= 0) & (gt[:, 1] < h * 32))
+        ok = alive & inside & (err < threshold_px)
+        n_ok += int(ok.sum())
+        n_alive += int((alive & inside).sum())
+    return (n_ok / max(n_alive, 1)), n_alive
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--warmup", type=int, default=50)
+    ap.add_argument("--clip", type=float, default=1.0)
+    ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--eval-pairs", type=int, default=8)
+    ap.add_argument("--gnn-layers", type=int, default=9)
+    ap.add_argument("--out", default="/tmp/train_curve.jsonl")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+
+    from pats_tpu.config import load_config
+    from pats_tpu.parallel.mesh import make_mesh
+    from pats_tpu.train.synthetic import synthetic_batches, warp_pair
+    from pats_tpu.train.trainer import CoarseTrainer
+
+    cfg = load_config(None, {"model": {"coarse": {
+        "gnn_layers": args.gnn_layers}}})
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    trainer = CoarseTrainer(cfg, mesh, learning_rate=args.lr,
+                            total_steps=args.steps,
+                            warmup_steps=args.warmup, clip_norm=args.clip)
+    H = W = args.size
+    key = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    state = trainer.init(key, jnp.zeros((H, W, 3)), jnp.zeros((H, W, 3)))
+
+    rng = np.random.default_rng(0)
+    train_imgs = textured_images(rng, 32, H, W)
+    hold_rng = np.random.default_rng(999)
+    hold_imgs = textured_images(hold_rng, args.eval_pairs, H, W)
+    warp_kw = dict(max_rotation=0.1, max_scale=0.1, max_translation=0.05)
+    hold_pairs = [warp_pair(im, hold_rng, level=0, **warp_kw)
+                  for im in hold_imgs]
+
+    it = synthetic_batches(train_imgs, batch_size=args.batch, level=0,
+                           seed=7, **warp_kw)
+    fh = open(args.out, "w")
+    t0 = time.time()
+    for step, batch in enumerate(it):
+        if step >= args.steps:
+            break
+        batch = {k: batch[k] for k in ("left", "right", "gt_pos",
+                                       "gt_class")}
+        state, m = trainer.step(state, jax.random.fold_in(key, step), batch)
+        if step % args.eval_every == 0 or step == args.steps - 1:
+            loss = float(np.asarray(m["loss"]))      # sync point
+            gnorm = float(np.asarray(m["grad_norm"]))
+            prec, n_alive = coarse_precision(
+                trainer.model, state.params, state.batch_stats, hold_pairs,
+                jax.random.PRNGKey(1))
+            rec = {"step": step, "loss": round(loss, 4),
+                   "grad_norm": round(gnorm, 2),
+                   "precision": round(prec, 4), "n_alive": n_alive,
+                   "t_s": round(time.time() - t0, 1)}
+            print(json.dumps(rec), flush=True)
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+    fh.close()
+
+
+if __name__ == "__main__":
+    main()
