@@ -113,16 +113,25 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
     results = {}
     n_total = len(dataset)
     n_done = 0
+    bucket_stats = {}          # bucket -> aggregated observability counters
 
-    def record(i, r, t, dt, bucket):
+    def record(i, r, t, dt, bucket, stats=None):
         nonlocal n_done
         results[i] = (r, t)
         n_done += 1
+        bs = bucket_stats.setdefault(bucket, {
+            "pairs": 0, "t_s": 0.0, "n_matches": 0, "n_coarse": 0,
+            "n_fine": 0})
+        bs["pairs"] += 1
+        bs["t_s"] += dt
+        for k in ("n_matches", "n_coarse", "n_fine"):
+            bs[k] += (stats or {}).get(k, 0)
         if fh:
-            fh.write(json.dumps({
-                "i": i, "err_R": float(r), "err_t": float(t),
-                "t_match_s": round(dt, 4),
-                "bucket": f"{bucket[0]}x{bucket[1]}"}) + "\n")
+            rec = {"i": i, "err_R": float(r), "err_t": float(t),
+                   "t_match_s": round(dt, 4),
+                   "bucket": f"{bucket[0]}x{bucket[1]}"}
+            rec.update(stats or {})
+            fh.write(json.dumps(rec) + "\n")
             fh.flush()
         if progress and n_done % 50 == 0:
             print(f"[{n_done}/{n_total}]", flush=True)
@@ -138,6 +147,7 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
     def flush(bucket, items):
         h, w = bucket
         t0 = time.time()
+        stats = []
         if runner is not None:
             pairs = []
             per = bucket_batch(bucket)
@@ -147,18 +157,20 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
                     [_pad_to(d["image0"], h, w) for _, d in chunk],
                     [_pad_to(d["image1"], h, w) for _, d in chunk],
                     batch_size=per)
+                stats += getattr(runner, "last_stats", [{}] * len(chunk))
         else:
             pairs = [matcher.match(_pad_to(d["image0"], h, w),
                                    _pad_to(d["image1"], h, w))
                      for _, d in items]
+            stats = [{"n_matches": len(ml)} for ml, _ in pairs]
         dt = (time.time() - t0) / len(items)
-        for (i, d), (ml, mr) in zip(items, pairs):
+        for (i, d), (ml, mr), st in zip(items, pairs, stats):
             ml, mr = _crop_pad_matches(ml, mr, d["image0"].shape[0],
                                        d["image0"].shape[1])
             r, t = compute_pose_error(ml, mr, d["K0"], d["K1"],
                                       d["T0"], d["T1"],
                                       scale_factor, threshold)
-            record(i, r, t, dt, bucket)
+            record(i, r, t, dt, bucket, st)
 
     cap = runner.batch_size if runner is not None else 1
     buffers = {}
@@ -176,6 +188,17 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
         flush(bucket, items)
     if fh:
         fh.close()
+    # per-bucket run summary (observability): mean wall time + mean
+    # per-level occupancy, one JSON line per bucket
+    if progress:
+        for bucket, bs in sorted(bucket_stats.items()):
+            n = max(bs["pairs"], 1)
+            print(json.dumps({
+                "bucket": f"{bucket[0]}x{bucket[1]}", "pairs": bs["pairs"],
+                "mean_t_s": round(bs["t_s"] / n, 4),
+                "mean_n_matches": round(bs["n_matches"] / n, 1),
+                "mean_n_coarse": round(bs["n_coarse"] / n, 1),
+                "mean_n_fine": round(bs["n_fine"] / n, 1)}), flush=True)
     err_R = [results[i][0] for i in range(n_total)]
     err_t = [results[i][1] for i in range(n_total)]
     return aggregate_metrics(err_R, err_t)

@@ -179,5 +179,8 @@ class PATSCascade(nn.Module):
             "matches_l": matches_l,
             "matches_r": matches_r,
             "valid": valid,
+            # per-level occupancy counters (observability; cheap scalars)
             "num_coarse": jnp.sum(r1["alive"].astype(jnp.int32)),
+            "num_fine": jnp.sum(r2["cell_alive"].astype(jnp.int32)),
+            "num_final": jnp.sum(valid.astype(jnp.int32)),
         }

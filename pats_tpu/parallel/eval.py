@@ -44,7 +44,8 @@ class ShardedMatcher:
                 def one(a, b):
                     out, _ = self.model.apply(variables, a, b,
                                               mutable=["batch_stats"])
-                    return (out["matches_l"], out["matches_r"], out["valid"])
+                    return (out["matches_l"], out["matches_r"], out["valid"],
+                            out["num_coarse"], out["num_fine"])
 
                 return jax.vmap(one)(left, right)
 
@@ -72,10 +73,18 @@ class ShardedMatcher:
         left[:B] = images0
         right[:B] = images1
         fn = self._fn(left.shape[:3])
-        ml, mr, valid = fn(self.variables,
-                           jax.device_put(left, self.batch_sharding),
-                           jax.device_put(right, self.batch_sharding))
+        ml, mr, valid, n_c, n_f = fn(
+            self.variables,
+            jax.device_put(left, self.batch_sharding),
+            jax.device_put(right, self.batch_sharding))
         ml = np.asarray(ml)
         mr = np.asarray(mr)
         valid = np.asarray(valid)
+        n_c = np.asarray(n_c)
+        n_f = np.asarray(n_f)
+        # per-level occupancy of the last batch (observability side
+        # channel; consumed by evaluate's JSONL shard records)
+        self.last_stats = [
+            {"n_coarse": int(n_c[i]), "n_fine": int(n_f[i]),
+             "n_matches": int(valid[i].sum())} for i in range(B)]
         return [(ml[i][valid[i]], mr[i][valid[i]]) for i in range(B)]
