@@ -21,7 +21,8 @@ import sys
 import numpy as np
 
 from pats_tpu.config import PATSConfig, load_config, reference_yaml_to_config
-from pats_tpu.utils.metrics import aggregate_metrics, compute_pose_error
+from pats_tpu.utils.metrics import (accuracy_breakdown, aggregate_metrics,
+                                    compute_pose_error, epipolar_errors)
 
 
 def build_dataset(cfg: PATSConfig):
@@ -96,7 +97,8 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
             with open(resume_path) as f:
                 for line in f:
                     rec = json.loads(line)
-                    done[rec["i"]] = (rec["err_R"], rec["err_t"])
+                    done[rec["i"]] = (rec["err_R"], rec["err_t"],
+                                      rec.get("epi_px"))
         fh = open(resume_path, "a")
 
     runner = None
@@ -115,9 +117,9 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
     n_done = 0
     bucket_stats = {}          # bucket -> aggregated observability counters
 
-    def record(i, r, t, dt, bucket, stats=None):
+    def record(i, r, t, dt, bucket, stats=None, epi=None):
         nonlocal n_done
-        results[i] = (r, t)
+        results[i] = (r, t, epi)
         n_done += 1
         bs = bucket_stats.setdefault(bucket, {
             "pairs": 0, "t_s": 0.0, "n_matches": 0, "n_coarse": 0,
@@ -130,6 +132,8 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
             rec = {"i": i, "err_R": float(r), "err_t": float(t),
                    "t_match_s": round(dt, 4),
                    "bucket": f"{bucket[0]}x{bucket[1]}"}
+            if epi is not None:
+                rec["epi_px"] = round(float(epi), 4)
             rec.update(stats or {})
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
@@ -170,7 +174,13 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
             r, t = compute_pose_error(ml, mr, d["K0"], d["K1"],
                                       d["T0"], d["T1"],
                                       scale_factor, threshold)
-            record(i, r, t, dt, bucket, st)
+            # mean |GT-epipolar distance| (reference Compute_accuracy's
+            # point_errs, utils/utils.py:544)
+            epi = epipolar_errors(ml, mr, d["K0"], d["K1"], d["T0"],
+                                  d["T1"], scale_factor)
+            epi = epi[np.isfinite(epi)]    # zero-baseline pairs give nan
+            epi = float(np.mean(np.abs(epi))) if len(epi) else None
+            record(i, r, t, dt, bucket, st, epi)
 
     cap = runner.batch_size if runner is not None else 1
     buffers = {}
@@ -201,7 +211,10 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
                 "mean_n_fine": round(bs["n_fine"] / n, 1)}), flush=True)
     err_R = [results[i][0] for i in range(n_total)]
     err_t = [results[i][1] for i in range(n_total)]
-    return aggregate_metrics(err_R, err_t)
+    epi = [results[i][2] for i in range(n_total) if results[i][2] is not None]
+    metrics = aggregate_metrics(err_R, err_t)
+    metrics.update(accuracy_breakdown(err_R, err_t, point_errs=epi))
+    return metrics
 
 
 def main(argv=None):

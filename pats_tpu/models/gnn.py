@@ -85,13 +85,34 @@ class KeypointEncoder(nn.Module):
                         dtype=self.dtype, name="encoder")(kpts)
 
 
+class _DenseParams(nn.Module):
+    """Parameters of an nn.Dense (same names/shapes/init) WITHOUT applying
+    it — the fused attention-layer kernel consumes the raw kernels, and
+    declaring them through this module keeps the variable tree (and thus
+    converted checkpoints, io/convert.py) identical to the unfused path."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.din, self.dout))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.dout,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Full softmax multi-head attention (modules.py:84-105), head-major.
 
-    With ``fused=True`` and short token sequences, attention runs through
-    the Pallas fused kernel (ops/pallas/attention_kernel.py) that keeps the
-    probability tensor in VMEM - the levels-2/3 GNNs are otherwise bound on
-    HBM traffic for the (batch*heads, N, N) softmax intermediates.
+    With ``fused=True`` and short token sequences, the WHOLE layer
+    (q/k/v projections + attention + merge projection) runs as one
+    Pallas kernel (ops/pallas/attention_kernel.fused_attention_layer):
+    the levels-2/3 GNNs are otherwise bound on HBM round-trips for q, k,
+    v, the (batch*heads, N, N) softmax tensor and the attention output.
+    The fused path requires key is value (true for the GNN's
+    message-passing calls); anything else falls back to XLA ops.
     """
 
     d_model: int
@@ -105,18 +126,55 @@ class MultiHeadAttention(nn.Module):
         # shape == the leading dims (dead items skip compute in the fused
         # kernel and output zeros — they are masked downstream anyway)
         dh = self.d_model // self.num_heads
-        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(query)
-        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(key)
-        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(value)
-
-        n = q.shape[-2]
-        lead = q.shape[:-2]
+        n = query.shape[-2]
+        lead = query.shape[:-2]
         batch = 1
         for s in lead:
             batch *= s
-        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, q.dtype))
 
+        dt = self.dtype or query.dtype
+        use_layer = use_attn = False
         if self.fused and n <= 256 and batch >= 16:
+            from pats_tpu.ops.pallas import attention_kernel as ak
+
+            # whole-layer fusion needs the projections inline and scoped
+            # VMEM for weights + tiles; attention-only fusion is the
+            # fallback (still removes the HBM probs round-trip); the XLA
+            # slice path is the last resort (shape too big for VMEM)
+            use_layer = (key is value
+                         and query.shape[-1] == self.d_model
+                         and ak.pick_block(n, self.d_model, self.num_heads,
+                                           dt, layer=True) is not None)
+            use_attn = not use_layer and ak.pick_block(
+                n, self.d_model, self.num_heads, dt,
+                layer=False) is not None
+
+        if use_layer:
+            from pats_tpu.ops.pallas.attention_kernel import \
+                fused_attention_layer
+
+            wq, bq = _DenseParams(self.d_model, self.d_model,
+                                  name="proj_q")()
+            wk, bk = _DenseParams(self.d_model, self.d_model,
+                                  name="proj_k")()
+            wv, bv = _DenseParams(self.d_model, self.d_model,
+                                  name="proj_v")()
+            wm, bm = _DenseParams(self.d_model, self.d_model,
+                                  name="merge")()
+            out = fused_attention_layer(
+                query.reshape((batch, n, self.d_model)).astype(dt),
+                key.reshape((batch, n, self.d_model)).astype(dt),
+                wq, bq, wk, bk, wv, bv, wm, bm,
+                float(1.0 / float(dh) ** 0.5), nheads=self.num_heads,
+                alive=None if item_alive is None
+                else item_alive.reshape(batch))
+            return out.reshape(lead + (n, self.d_model))
+
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(query)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(key)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(value)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, q.dtype))
+        if use_attn:
             from pats_tpu.ops.pallas.attention_kernel import fused_attention
 
             out = fused_attention(
@@ -127,20 +185,21 @@ class MultiHeadAttention(nn.Module):
                 alive=None if item_alive is None
                 else item_alive.reshape(batch))
             out = out.reshape(lead + (n, self.d_model))
-        else:
-            # per-head contiguous channel slices: no layout shuffles.
-            # (A block-diagonal TB-grouped variant won 5x in isolation but
-            # REGRESSED the full graph by ~50% - the extra softmax volume
-            # dominates once XLA fuses the surrounding ops; keep it simple.)
-            outs = []
-            for h in range(self.num_heads):
-                sl = slice(h * dh, (h + 1) * dh)
-                s = jnp.einsum("...nd,...md->...nm", q[..., sl],
-                               k[..., sl]) * scale
-                prob = nn.softmax(s, axis=-1)
-                outs.append(jnp.einsum("...nm,...md->...nd", prob,
-                                       v[..., sl]))
-            out = jnp.concatenate(outs, axis=-1)
+            return nn.Dense(self.d_model, dtype=self.dtype,
+                            name="merge")(out)
+        # per-head contiguous channel slices: no layout shuffles.
+        # (A block-diagonal TB-grouped variant won 5x in isolation but
+        # REGRESSED the full graph by ~50% - the extra softmax volume
+        # dominates once XLA fuses the surrounding ops; keep it simple.)
+        outs = []
+        for h in range(self.num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            s = jnp.einsum("...nd,...md->...nm", q[..., sl],
+                           k[..., sl]) * scale
+            prob = nn.softmax(s, axis=-1)
+            outs.append(jnp.einsum("...nm,...md->...nd", prob,
+                                   v[..., sl]))
+        out = jnp.concatenate(outs, axis=-1)
         return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(out)
 
 

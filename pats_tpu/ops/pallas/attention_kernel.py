@@ -41,6 +41,37 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pick_block(n: int, d: int, nheads: int, dtype, layer: bool):
+    """Largest batch-tile size whose kernel fits scoped VMEM, or None.
+
+    Calibrated against measured Mosaic stack allocations on v5e (the
+    compiler's scoped-vmem limit is 16 MB): at the fine-level shape
+    (Np=256, Dp=384, H=4) the f32 layer kernel allocated 26.43 MB at
+    tb=2 vs this model's 17.3 MB — f32 runs ~1.55x the model (extra
+    f32 dot copies), so the f32 budget is 9.5 MB model-bytes; bf16
+    tracked the model closely (tb=4 passed at 14.6 MB) and gets 15 MB.
+    Returns None when even tb=1 does not fit (callers fall back to the
+    attention-only kernel or the XLA path).
+    """
+    is_ = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
+    if layer:
+        np_, dp = _round_up(n, 128), _round_up(d, 128)
+        tile_arrays = 9      # x,src in (x2 dbl-buf), out (x2), q/k/v, scratch
+    else:
+        np_ = _round_up(n, 16 if is_ == 2 else 8)
+        dp = _round_up(d, 128)
+        tile_arrays = 8      # q,k,v,out tiles x2 double-buffering
+    fixed = (2 * nheads * np_ * dp * (is_ + 2)      # kexp/vexp + temps
+             + 3 * nheads * np_ * np_ * 4)          # s, parts, p (f32)
+    if layer:
+        fixed += 4 * dp * dp * is_                  # resident weights
+    budget = (15 << 20) if is_ == 2 else int(9.5 * 2 ** 20)
+    for tb in (16, 8, 4, 2, 1):
+        if fixed + tile_arrays * tb * np_ * dp * is_ <= budget:
+            return tb
+    return None
+
+
 def _expand_heads(x, nheads: int, dh: int):
     """(Np, D) -> (H*Np, D) where row h*Np+j keeps only channels of head h."""
     np_, d = x.shape
@@ -117,9 +148,8 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Np = _round_up(N, sub)
     Dp = _round_up(D, 128)
     if block_b is None:
-        # ~4 MB across the q/k/v/o tiles, leaving room for double
-        # buffering + per-item f32 score temporaries
-        block_b = max(4, min(16, (4 << 20) // (Np * Dp * 8)))
+        block_b = pick_block(N, D, nheads, q.dtype, layer=False)
+        assert block_b is not None, "caller must gate on pick_block"
     Bp = _round_up(B, block_b)
     if Dp != D:          # kexp masking assumes real channels only
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
@@ -152,4 +182,127 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((Bp, Np, Dp), q.dtype),
         interpret=interpret,
     )(alive_i, qp, kp, vp)
+    return out[:B, :N, :D]
+
+
+def _layer_kernel(alive_ref, x_ref, s_ref, wq_ref, wk_ref, wv_ref, wm_ref,
+                  bq_ref, bk_ref, bv_ref, bm_ref, o_ref, o_scr, *, tb: int,
+                  n_real: int, nheads: int, dh: int, scale: float):
+    """One GNN attention message per tile: q/k/v projections + multi-head
+    softmax attention + merge projection, all in VMEM.
+
+    Dot-count discipline: Mosaic's per-dot overhead dominates at these
+    sizes, so the projections and the merge run as FOUR large
+    (tb*Np, D) @ (D, D) dots per grid step (the tile folded into rows);
+    only the two attention dots remain per item (2-D only — batched dots
+    are pathological on this Mosaic), with per-item attention outputs
+    accumulated in a scratch and merged in one dot."""
+    np_ = x_ref.shape[1]
+    d = x_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nheads * np_), 1) % np_
+    key_pad = col >= n_real
+    tile_alive = alive_ref[pl.program_id(0)]
+
+    @pl.when(tile_alive == 0)
+    def _dead():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(tile_alive != 0)
+    def _compute():
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xf = x_ref[:].reshape(tb * np_, d)
+        sf = s_ref[:].reshape(tb * np_, d)
+        q_all = (dot(xf, wq_ref[:]) + bq_ref[:]).astype(xf.dtype)
+        k_all = (dot(sf, wk_ref[:]) + bk_ref[:]).astype(xf.dtype)
+        v_all = (dot(sf, wv_ref[:]) + bv_ref[:]).astype(xf.dtype)
+        for t in range(tb):                       # unrolled: 2-D dots only
+            q = q_all[t * np_:(t + 1) * np_]
+            kexp = _expand_heads(k_all[t * np_:(t + 1) * np_], nheads, dh)
+            vexp = _expand_heads(v_all[t * np_:(t + 1) * np_], nheads, dh)
+            s = jax.lax.dot_general(
+                q, kexp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # (Np, H*Np)
+            s = jnp.where(key_pad, -1e30, s)
+            parts = []
+            for h in range(nheads):
+                sh = s[:, h * np_:(h + 1) * np_]
+                sh = sh - jnp.max(sh, axis=-1, keepdims=True)
+                e = jnp.exp(sh)
+                parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
+            p = jnp.concatenate(parts, axis=1)
+            o = jax.lax.dot_general(
+                p.astype(xf.dtype), vexp,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (Np, D)
+            o_scr[t * np_:(t + 1) * np_, :] = o.astype(o_scr.dtype)
+        msg = dot(o_scr[:], wm_ref[:]) + bm_ref[:]            # (tb*Np, D)
+        o_ref[:] = msg.reshape(tb, np_, d).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nheads", "scale", "block_b",
+                                             "interpret"))
+def fused_attention_layer(x: jnp.ndarray, source: jnp.ndarray,
+                          wq, bq, wk, bk, wv, bv, wm, bm,
+                          scale: float, nheads: int = 4,
+                          block_b: int = None,
+                          alive: jnp.ndarray = None,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Full attention message for (B, N, D) token sets in one kernel.
+
+    Equivalent to ``merge(attention(x Wq, src Wk, src Wv))`` with bias
+    terms — one HBM read of x/source and one write of the message instead
+    of materializing q, k, v, probs and the attention output between
+    XLA ops.  Weights are (D, D), biases (D,).  ``alive`` as in
+    ``fused_attention``.
+    """
+    B, N, D = x.shape
+    dh = D // nheads
+    assert D == nheads * dh
+    Np = _round_up(N, 128)
+    Dp = _round_up(D, 128)
+    if block_b is None:
+        block_b = pick_block(N, D, nheads, x.dtype, layer=True)
+        assert block_b is not None, "caller must gate on pick_block"
+    Bp = _round_up(B, block_b)
+
+    def padw(w):
+        return jnp.pad(w.astype(x.dtype),
+                       ((0, Dp - D), (0, Dp - D)))
+
+    def padb(b):
+        # biases as (1, Dp) rows (TPU wants >=2-D operands)
+        return jnp.pad(b.astype(jnp.float32), (0, Dp - D))[None]
+
+    def padx(a):
+        return jnp.pad(a, ((0, Bp - B), (0, Np - N), (0, Dp - D)))
+
+    if alive is None:
+        alive_i = jnp.ones((Bp // block_b,), jnp.int32)
+    else:
+        alive_i = jnp.pad(alive.astype(jnp.int32), (0, Bp - B))
+        alive_i = alive_i.reshape(Bp // block_b, block_b).max(axis=1)
+
+    spec = pl.BlockSpec((block_b, Np, Dp), lambda i, a: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((Dp, Dp), lambda i, a: (0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, Dp), lambda i, a: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_layer_kernel, tb=block_b, n_real=N, nheads=nheads,
+                          dh=dh, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // block_b,),
+            in_specs=[spec, spec, wspec, wspec, wspec, wspec,
+                      bspec, bspec, bspec, bspec],
+            out_specs=spec,
+            scratch_shapes=[pltpu.VMEM((block_b * Np, Dp), x.dtype)]),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, Dp), x.dtype),
+        interpret=interpret,
+    )(alive_i, padx(x), padx(source), padw(wq), padw(wk), padw(wv),
+      padw(wm), padb(bq), padb(bk), padb(bv), padb(bm))
     return out[:B, :N, :D]

@@ -31,6 +31,50 @@ def angle_error_vec(v1: np.ndarray, v2: np.ndarray) -> float:
     return float(np.rad2deg(np.arccos(np.clip(np.dot(v1, v2) / n, -1.0, 1.0))))
 
 
+def _adjusted_cameras(K1, K2, T1, T2, scale_factor: float):
+    """Reference evaluation-scale intrinsics adjustment + relative pose
+    (utils/utils.py:536-541): the right image was resized by
+    ``scale_factor`` and both principal points shifted by the 640x480
+    half-size offset."""
+    K1 = np.array(K1, dtype=np.float64)
+    K2 = np.array(K2, dtype=np.float64)
+    K2 = scale_intrinsics(K2, [1.0 / scale_factor, 1.0 / scale_factor])
+    if scale_factor > 1.0:
+        K1[:2, 2] += np.asarray([int((scale_factor - 1) * 320),
+                                 int((scale_factor - 1) * 240)])
+    else:
+        K2[:2, 2] += np.asarray([int((1 - scale_factor) * 320),
+                                 int((1 - scale_factor) * 240)])
+    relative = np.asarray(T2, np.float64) @ np.linalg.inv(
+        np.asarray(T1, np.float64))
+    return K1, K2, relative
+
+
+def epipolar_errors(kp1: np.ndarray, kp2: np.ndarray,
+                    K1: np.ndarray, K2: np.ndarray,
+                    T1: np.ndarray, T2: np.ndarray,
+                    scale_factor: float = 1.0) -> np.ndarray:
+    """Per-match signed distance (px) of the right point to the left
+    point's ground-truth epipolar line (reference get_pose_error,
+    utils/utils.py:365-373: F_gt from the GT relative pose, distance
+    normalized by the line's image-plane norm).  kp1/kp2 (N, 2) are in
+    (row, col) order."""
+    if kp1.shape[0] == 0:
+        return np.zeros((0,), np.float64)
+    K1, K2, relative = _adjusted_cameras(K1, K2, T1, T2, scale_factor)
+    t = relative[:3, 3]
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E_gt = tx @ relative[:3, :3]
+    F_gt = np.linalg.inv(K2).T @ E_gt @ np.linalg.inv(K1)
+    p1 = np.concatenate([kp1[:, [1, 0]].astype(np.float64),
+                         np.ones((len(kp1), 1))], axis=1)
+    p2 = np.concatenate([kp2[:, [1, 0]].astype(np.float64),
+                         np.ones((len(kp2), 1))], axis=1)
+    line = p1 @ F_gt.T
+    num = np.einsum("ij,ij->i", p2, line)
+    return num / np.sqrt(line[:, 0] ** 2 + line[:, 1] ** 2)
+
+
 def compute_pose_error(kp1: np.ndarray, kp2: np.ndarray,
                        K1: np.ndarray, K2: np.ndarray,
                        T1: np.ndarray, T2: np.ndarray,
@@ -45,19 +89,7 @@ def compute_pose_error(kp1: np.ndarray, kp2: np.ndarray,
 
     kp1 = kp1[:, [1, 0]].astype(np.float64)
     kp2 = kp2[:, [1, 0]].astype(np.float64)
-    K1 = np.array(K1, dtype=np.float64)
-    K2 = np.array(K2, dtype=np.float64)
-
-    K2 = scale_intrinsics(K2, [1.0 / scale_factor, 1.0 / scale_factor])
-    if scale_factor > 1.0:
-        K1[:2, 2] += np.asarray([int((scale_factor - 1) * 320),
-                                 int((scale_factor - 1) * 240)])
-    else:
-        K2[:2, 2] += np.asarray([int((1 - scale_factor) * 320),
-                                 int((1 - scale_factor) * 240)])
-
-    relative = np.asarray(T2, np.float64) @ np.linalg.inv(
-        np.asarray(T1, np.float64))
+    K1, K2, relative = _adjusted_cameras(K1, K2, T1, T2, scale_factor)
 
     f_mean = np.mean([K1[0, 0], K2[1, 1], K1[0, 0], K2[1, 1]])
     norm_thresh = threshold / f_mean
@@ -107,6 +139,35 @@ def aggregate_metrics(error_R: List[float], error_t: List[float]
     pose_errors = np.max(np.stack([np.asarray(error_R),
                                    np.asarray(error_t)]), axis=0)
     return error_auc(pose_errors)
+
+
+def accuracy_breakdown(error_R: List[float], error_t: List[float],
+                       point_errs: List[float] = None) -> Dict[str, float]:
+    """The reference's full printed accuracy report (Compute_accuracy,
+    utils/utils.py:551-584): threshold accuracies and medians over the
+    per-pair max/min angular errors, plus the median of the per-pair mean
+    |epipolar distance|.  Matches the reference's variable-name quirk:
+    its "R_errors" is max(err_R, err_t) per pair and "T_errors" the min,
+    so R_* keys here are max-error stats and T_* keys min-error stats.
+    ``point_errs``: per-pair mean |epipolar px error| (epipolar_errors).
+    """
+    hi = np.max(np.stack([np.asarray(error_R, np.float64),
+                          np.asarray(error_t, np.float64)]), axis=0)
+    lo = np.min(np.stack([np.asarray(error_R, np.float64),
+                          np.asarray(error_t, np.float64)]), axis=0)
+    out = {
+        "R_0.5_accuracy": float(np.mean(hi < 0.5)),
+        "R_5_accuracy": float(np.mean(hi < 5)),
+        "T_5_accuracy": float(np.mean(lo < 5)),
+        "R_20_accuracy": float(np.mean(hi < 20)),
+        "T_20_accuracy": float(np.mean(lo < 20)),
+        "R_median": float(np.median(hi)),
+        "T_median": float(np.median(lo)),
+    }
+    if point_errs is not None and len(point_errs):
+        out["err_median"] = float(np.median(np.asarray(point_errs)))
+    out.update(error_auc(hi))
+    return out
 
 
 def match_precision_recall(ml: np.ndarray, mr: np.ndarray,

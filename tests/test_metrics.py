@@ -124,3 +124,34 @@ def test_match_precision_recall_identity():
     mr = ml + np.array([[0.0, 10.0]])
     res2 = match_precision_recall(ml, mr, np.eye(3))
     assert res2["precision"] == 0.0
+
+
+def test_epipolar_errors_perfect_and_offset(rng):
+    """Exact projections lie on their GT epipolar lines; perturbing the
+    right points perpendicular-ish to the line raises the px distance."""
+    from pats_tpu.utils.metrics import epipolar_errors
+
+    kp0, kp1, K, T0, T1 = _synthetic_pair(rng)
+    d = epipolar_errors(kp0, kp1, K, K, T0, T1)
+    assert np.abs(d).max() < 1e-6, np.abs(d).max()
+    noisy = kp1 + rng.normal(scale=5.0, size=kp1.shape)
+    dn = epipolar_errors(kp0, noisy, K, K, T0, T1)
+    assert np.mean(np.abs(dn)) > 0.5
+    assert epipolar_errors(kp0[:0], kp1[:0], K, K, T0, T1).shape == (0,)
+
+
+def test_accuracy_breakdown():
+    """Reference Compute_accuracy stats (utils/utils.py:551-575): R_* are
+    max(err_R, err_t) per pair, T_* the min; AUC over the max errors."""
+    from pats_tpu.utils.metrics import accuracy_breakdown
+
+    out = accuracy_breakdown([0.2, 3.0, 30.0], [0.1, 10.0, 2.0],
+                             point_errs=[0.5, 1.0, 9.0])
+    # per-pair (hi, lo): (0.2, 0.1), (10, 3), (30, 2)
+    assert out["R_0.5_accuracy"] == 1 / 3
+    assert out["R_5_accuracy"] == 1 / 3
+    assert out["T_5_accuracy"] == 3 / 3
+    assert out["R_20_accuracy"] == 2 / 3
+    assert out["R_median"] == 10.0 and out["T_median"] == 2.0
+    assert out["err_median"] == 1.0
+    assert 0 < out["auc@20"] < 1

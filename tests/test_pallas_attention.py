@@ -79,3 +79,96 @@ def test_fused_attention_alive_skip(rng):
     # its items; the fully-dead tile [16:24) is skipped and zeroed
     np.testing.assert_allclose(got[:16], want[:16], rtol=1e-4, atol=1e-5)
     assert (got[16:] == 0).all()
+
+
+def test_fused_attention_layer(rng):
+    """Projections + attention + merge in one kernel == manual chain."""
+    from pats_tpu.ops.pallas.attention_kernel import fused_attention_layer
+
+    b, n, d, heads = 18, 65, 128, 4
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    src = rng.normal(size=(b, n, d)).astype(np.float32)
+    ws = {k: rng.normal(size=(d, d)).astype(np.float32) * 0.1
+          for k in "qkvm"}
+    bs = {k: rng.normal(size=d).astype(np.float32) * 0.1 for k in "qkvm"}
+    scale = 1.0 / np.sqrt(d // heads)
+    got = np.asarray(fused_attention_layer(
+        jnp.asarray(x), jnp.asarray(src),
+        jnp.asarray(ws["q"]), jnp.asarray(bs["q"]),
+        jnp.asarray(ws["k"]), jnp.asarray(bs["k"]),
+        jnp.asarray(ws["v"]), jnp.asarray(bs["v"]),
+        jnp.asarray(ws["m"]), jnp.asarray(bs["m"]),
+        float(scale), nheads=heads, block_b=8, interpret=True))
+    q = x @ ws["q"] + bs["q"]
+    k = src @ ws["k"] + bs["k"]
+    v = src @ ws["v"] + bs["v"]
+    want = mha_reference(q, k, v, scale, heads) @ ws["m"] + bs["m"]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_attention_layer_odd_dims_alive(rng):
+    """264-d / dh 66 padding + dead-tile skip in the layer kernel."""
+    from pats_tpu.ops.pallas.attention_kernel import fused_attention_layer
+
+    b, n, d, heads = 8, 30, 264, 4
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    ws = {k: rng.normal(size=(d, d)).astype(np.float32) * 0.1
+          for k in "qkvm"}
+    bz = np.zeros(d, np.float32)
+    alive = np.zeros(b, bool)
+    alive[:4] = True
+    got = np.asarray(fused_attention_layer(
+        jnp.asarray(x), jnp.asarray(x),
+        jnp.asarray(ws["q"]), jnp.asarray(bz),
+        jnp.asarray(ws["k"]), jnp.asarray(bz),
+        jnp.asarray(ws["v"]), jnp.asarray(bz),
+        jnp.asarray(ws["m"]), jnp.asarray(bz),
+        0.15, nheads=heads, block_b=4,
+        alive=jnp.asarray(alive), interpret=True))
+    q, k, v = x @ ws["q"], x @ ws["k"], x @ ws["v"]
+    want = mha_reference(q, k, v, 0.15, heads) @ ws["m"]
+    np.testing.assert_allclose(got[:4], want[:4], rtol=1e-3, atol=1e-3)
+    assert (got[4:] == 0).all()
+
+
+def test_gnn_module_fused_layer_equivalence(rng):
+    """MultiHeadAttention fused path == unfused path with shared params
+    (the _DenseParams tree must be interchangeable with nn.Dense's)."""
+    import jax
+    from unittest import mock
+    import pats_tpu.ops.pallas.attention_kernel as ak
+    from pats_tpu.models.gnn import MultiHeadAttention
+
+    b, n, d = 20, 33, 64
+    x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    fused = MultiHeadAttention(d, 4, fused=True)
+    plain = MultiHeadAttention(d, 4, fused=False)
+    variables = plain.init(jax.random.PRNGKey(0), x, x, x)
+    real = ak.fused_attention_layer
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return real(*args, **kw)
+
+    with mock.patch.object(ak, "fused_attention_layer", side_effect=interp):
+        got = np.asarray(fused.apply(variables, x, x, x))
+    want = np.asarray(plain.apply(variables, x, x, x))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_pick_block_vmem_gate():
+    """Calibration points measured on v5e (scoped-vmem limit 16 MB):
+    f32 at the fine-level shape OOMed at any tile (26.43 MB at tb=2);
+    bf16 passed at tb=4 there; bf16 refine/coarse shapes keep their
+    measured-fast tile sizes."""
+    import jax.numpy as jnp
+    from pats_tpu.ops.pallas.attention_kernel import pick_block
+
+    # fine level: N=145, D=264, H=4
+    assert pick_block(145, 264, 4, jnp.float32, layer=True) is None
+    assert pick_block(145, 264, 4, jnp.bfloat16, layer=True) == 4
+    # f32 fine still has a fused-attention-only fallback
+    assert pick_block(145, 264, 4, jnp.float32, layer=False) is not None
+    # refine level: N=65, D=128 — full tile both dtypes
+    assert pick_block(65, 128, 4, jnp.bfloat16, layer=True) == 16
+    assert pick_block(65, 128, 4, jnp.float32, layer=True) >= 8
