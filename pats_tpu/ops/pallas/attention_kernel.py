@@ -123,6 +123,82 @@ def _kernel(alive_ref, q_ref, k_ref, v_ref, o_ref, *, tb: int, n_real: int,
             o_ref[t] = o.astype(o_ref.dtype)
 
 
+def _fold_vmap_rule(core, n_tensors: int):
+    """custom_vmap rule: fold the mapped axis into the kernel batch dim.
+
+    Without this, vmap of the scalar-prefetch pallas_call lowers to a
+    SERIAL while loop over the mapped axis with dynamic-slice/copy glue
+    (measured ~750 ms/step of pure data movement at bench batch 4).  The
+    first ``n_tensors`` args are (B, ...) per-item tensors (tokens +
+    alive); the rest are weights shared across the map (never batched in
+    the GNN use).  Mapped tensors fold (V, B, ...) -> (V*B, ...); the
+    one kernel call then sees 4x the items and tiles them on its grid.
+    """
+
+    def rule(axis_size, in_batched, *args):
+        assert not any(in_batched[n_tensors:]), \
+            "fused attention: batched weights unsupported"
+        folded = []
+        for i in range(n_tensors):
+            a = args[i]
+            if not in_batched[i]:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            folded.append(a.reshape((axis_size * a.shape[1],) + a.shape[2:]))
+        out = core(*folded, *args[n_tensors:])
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return rule
+
+
+@functools.lru_cache(maxsize=None)
+def _attention_core(nheads: int, scale: float, block_b, interpret: bool):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(q, k, v, alive):
+        B, N, D = q.shape
+        dh = D // nheads
+        sub = 16 if q.dtype == jnp.bfloat16 else 8
+        Np = _round_up(N, sub)
+        Dp = _round_up(D, 128)
+        bb = block_b
+        if bb is None:
+            bb = pick_block(N, D, nheads, q.dtype, layer=False)
+            assert bb is not None, "caller must gate on pick_block"
+        Bp = _round_up(B, bb)
+        if Dp != D:      # kexp masking assumes real channels only
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, Dp - D)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, Dp - D)))
+            # padded channels belong to no head (chan // dh >= nheads
+            # there, which requires the real channels to split exactly)
+            assert D == nheads * dh
+
+        alive_i = jnp.pad(alive.astype(jnp.int32), (0, Bp - B))
+        alive_i = alive_i.reshape(Bp // bb, bb).max(axis=1)
+
+        def pad(x):
+            return jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, 0)))
+
+        spec = pl.BlockSpec((bb, Np, Dp), lambda i, a: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_kernel, tb=bb, n_real=N, nheads=nheads,
+                              dh=dh, scale=scale),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Bp // bb,),
+                in_specs=[spec, spec, spec],
+                out_specs=spec),
+            out_shape=jax.ShapeDtypeStruct((Bp, Np, Dp), q.dtype),
+            interpret=interpret,
+        )(alive_i, pad(q), pad(k), pad(v))
+        return out[:B, :N, :D]
+
+    core.def_vmap(_fold_vmap_rule(core, 4))
+    return core
+
+
 @functools.partial(jax.jit, static_argnames=("nheads", "scale", "block_b",
                                              "interpret"))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -141,48 +217,13 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dead skip both matmuls and output zeros (their tokens are masked
     downstream anyway).  With the cascade's alive-first compaction the
     cost scales with occupancy, not capacity.
+
+    vmap folds the mapped axis into B (one bigger kernel call) instead of
+    XLA's serial per-item while loop.
     """
-    B, N, D = q.shape
-    dh = D // nheads
-    sub = 16 if q.dtype == jnp.bfloat16 else 8
-    Np = _round_up(N, sub)
-    Dp = _round_up(D, 128)
-    if block_b is None:
-        block_b = pick_block(N, D, nheads, q.dtype, layer=False)
-        assert block_b is not None, "caller must gate on pick_block"
-    Bp = _round_up(B, block_b)
-    if Dp != D:          # kexp masking assumes real channels only
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, Dp - D)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, Dp - D)))
-        # padded channels belong to no head (chan // dh >= nheads there,
-        # which requires the real channels to split exactly)
-        assert D == nheads * dh
-
     if alive is None:
-        alive_i = jnp.ones((Bp // block_b,), jnp.int32)
-    else:
-        alive_i = jnp.pad(alive.astype(jnp.int32), (0, Bp - B))
-        alive_i = alive_i.reshape(Bp // block_b, block_b).max(axis=1)
-
-    def pad(x):
-        return jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, 0)))
-
-    qp, kp, vp = pad(q), pad(k), pad(v)
-    spec = pl.BlockSpec((block_b, Np, Dp), lambda i, a: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, tb=block_b, n_real=N, nheads=nheads,
-                          dh=dh, scale=scale),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(Bp // block_b,),
-            in_specs=[spec, spec, spec],
-            out_specs=spec),
-        out_shape=jax.ShapeDtypeStruct((Bp, Np, Dp), q.dtype),
-        interpret=interpret,
-    )(alive_i, qp, kp, vp)
-    return out[:B, :N, :D]
+        alive = jnp.ones((q.shape[0],), jnp.int32)
+    return _attention_core(nheads, scale, block_b, interpret)(q, k, v, alive)
 
 
 def _layer_kernel(alive_ref, x_ref, s_ref, wq_ref, wk_ref, wv_ref, wm_ref,
@@ -242,6 +283,63 @@ def _layer_kernel(alive_ref, x_ref, s_ref, wq_ref, wk_ref, wv_ref, wm_ref,
         o_ref[:] = msg.reshape(tb, np_, d).astype(o_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _layer_core(nheads: int, scale: float, block_b, interpret: bool):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(x, source, alive, wq, bq, wk, bk, wv, bv, wm, bm):
+        B, N, D = x.shape
+        dh = D // nheads
+        assert D == nheads * dh
+        Np = _round_up(N, 128)
+        Dp = _round_up(D, 128)
+        bb = block_b
+        if bb is None:
+            bb = pick_block(N, D, nheads, x.dtype, layer=True)
+            assert bb is not None, "caller must gate on pick_block"
+        Bp = _round_up(B, bb)
+
+        def padw(w):
+            return jnp.pad(w.astype(x.dtype),
+                           ((0, Dp - D), (0, Dp - D)))
+
+        def padb(b):
+            # biases as (1, Dp) rows (TPU wants >=2-D operands)
+            return jnp.pad(b.astype(jnp.float32), (0, Dp - D))[None]
+
+        def padx(a):
+            return jnp.pad(a, ((0, Bp - B), (0, Np - N), (0, Dp - D)))
+
+        alive_i = jnp.pad(alive.astype(jnp.int32), (0, Bp - B))
+        alive_i = alive_i.reshape(Bp // bb, bb).max(axis=1)
+
+        spec = pl.BlockSpec((bb, Np, Dp), lambda i, a: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        wspec = pl.BlockSpec((Dp, Dp), lambda i, a: (0, 0),
+                             memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((1, Dp), lambda i, a: (0, 0),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_layer_kernel, tb=bb, n_real=N,
+                              nheads=nheads, dh=dh, scale=scale),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Bp // bb,),
+                in_specs=[spec, spec, wspec, wspec, wspec, wspec,
+                          bspec, bspec, bspec, bspec],
+                out_specs=spec,
+                scratch_shapes=[pltpu.VMEM((bb * Np, Dp), x.dtype)]),
+            out_shape=jax.ShapeDtypeStruct((Bp, Np, Dp), x.dtype),
+            interpret=interpret,
+        )(alive_i, padx(x), padx(source), padw(wq), padw(wk), padw(wv),
+          padw(wm), padb(bq), padb(bk), padb(bv), padb(bm))
+        return out[:B, :N, :D]
+
+    core.def_vmap(_fold_vmap_rule(core, 3))
+    return core
+
+
 @functools.partial(jax.jit, static_argnames=("nheads", "scale", "block_b",
                                              "interpret"))
 def fused_attention_layer(x: jnp.ndarray, source: jnp.ndarray,
@@ -257,52 +355,11 @@ def fused_attention_layer(x: jnp.ndarray, source: jnp.ndarray,
     of materializing q, k, v, probs and the attention output between
     XLA ops.  Weights are (D, D), biases (D,).  ``alive`` as in
     ``fused_attention``.
+
+    vmap folds the mapped axis into B (one bigger kernel call) instead of
+    XLA's serial per-item while loop.
     """
-    B, N, D = x.shape
-    dh = D // nheads
-    assert D == nheads * dh
-    Np = _round_up(N, 128)
-    Dp = _round_up(D, 128)
-    if block_b is None:
-        block_b = pick_block(N, D, nheads, x.dtype, layer=True)
-        assert block_b is not None, "caller must gate on pick_block"
-    Bp = _round_up(B, block_b)
-
-    def padw(w):
-        return jnp.pad(w.astype(x.dtype),
-                       ((0, Dp - D), (0, Dp - D)))
-
-    def padb(b):
-        # biases as (1, Dp) rows (TPU wants >=2-D operands)
-        return jnp.pad(b.astype(jnp.float32), (0, Dp - D))[None]
-
-    def padx(a):
-        return jnp.pad(a, ((0, Bp - B), (0, Np - N), (0, Dp - D)))
-
     if alive is None:
-        alive_i = jnp.ones((Bp // block_b,), jnp.int32)
-    else:
-        alive_i = jnp.pad(alive.astype(jnp.int32), (0, Bp - B))
-        alive_i = alive_i.reshape(Bp // block_b, block_b).max(axis=1)
-
-    spec = pl.BlockSpec((block_b, Np, Dp), lambda i, a: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((Dp, Dp), lambda i, a: (0, 0),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, Dp), lambda i, a: (0, 0),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_layer_kernel, tb=block_b, n_real=N, nheads=nheads,
-                          dh=dh, scale=scale),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(Bp // block_b,),
-            in_specs=[spec, spec, wspec, wspec, wspec, wspec,
-                      bspec, bspec, bspec, bspec],
-            out_specs=spec,
-            scratch_shapes=[pltpu.VMEM((block_b * Np, Dp), x.dtype)]),
-        out_shape=jax.ShapeDtypeStruct((Bp, Np, Dp), x.dtype),
-        interpret=interpret,
-    )(alive_i, padx(x), padx(source), padw(wq), padw(wk), padw(wv),
-      padw(wm), padb(bq), padb(bk), padb(bv), padb(bm))
-    return out[:B, :N, :D]
+        alive = jnp.ones((x.shape[0],), jnp.int32)
+    return _layer_core(nheads, scale, block_b, interpret)(
+        x, source, alive, wq, bq, wk, bk, wv, bv, wm, bm)

@@ -172,3 +172,43 @@ def test_pick_block_vmem_gate():
     # refine level: N=65, D=128 — full tile both dtypes
     assert pick_block(65, 128, 4, jnp.bfloat16, layer=True) == 16
     assert pick_block(65, 128, 4, jnp.float32, layer=True) >= 8
+
+
+def test_vmap_folds_into_batch():
+    """vmap over the fused kernels must fold the mapped axis into the
+    kernel batch dim (custom_vmap rule) and match per-item calls exactly
+    — XLA's fallback is a serial while loop with slice/copy glue that
+    cost ~750 ms/step at bench batch 4."""
+    import jax
+    import jax.numpy as jnp
+    from pats_tpu.ops.pallas.attention_kernel import (fused_attention,
+                                                      fused_attention_layer)
+
+    rng = np.random.default_rng(3)
+    V, B, N, D, H = 3, 12, 20, 64, 4
+    q = jnp.asarray(rng.normal(size=(V, B, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(V, B, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(V, B, N, D)), jnp.float32)
+    alive = jnp.asarray(rng.integers(0, 2, (V, B)), jnp.int32)
+
+    def att(q, k, v, a):
+        return fused_attention(q, k, v, scale=0.125, nheads=H, block_b=4,
+                               alive=a, interpret=True)
+
+    got = jax.vmap(att)(q, k, v, alive)
+    want = jnp.stack([att(q[i], k[i], v[i], alive[i]) for i in range(V)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    ws = [jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32)
+          for _ in range(4)]
+    bs = [jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+          for _ in range(4)]
+
+    def layer(x, s, a):
+        return fused_attention_layer(
+            x, s, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3],
+            scale=0.125, nheads=H, block_b=4, alive=a, interpret=True)
+
+    got = jax.vmap(layer)(q, k, alive)
+    want = jnp.stack([layer(q[i], k[i], alive[i]) for i in range(V)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
