@@ -10,16 +10,20 @@ VMEM per batch tile so HBM traffic is just the q/k/v reads + output write.
 Mosaic quirk on this platform: a BATCHED ``lax.dot_general`` inside a
 kernel executes pathologically slowly (~70 s for a trivial case), so the
 kernels below use ONLY 2-D dots.  Per batch item, all H heads are computed
-with a single 2-D dot pair via a block-column expansion ("kexp"): the key
-matrix (N, D) is replicated per head and masked so head h keeps only its
-own channel block [h*dh, (h+1)*dh).  Then
+with a single 2-D dot pair via a ROW-stacked head expansion ("qexp"): the
+query matrix (N, D) is replicated per head and masked so head h keeps only
+its own channel block [h*dh, (h+1)*dh).  Then
 
-    scores2 = q (N, D) @ kexp^T (D, H*N)   # [i, h*N+j] = q_h[i] . k_h[j]
-    probs2  = softmax over each N-column block (f32)
-    out     = probs2 (N, H*N) @ vexp (H*N, D)
+    scores = qexp (H*N, D) @ k^T (D, N)    # [h*N+i, j] = q_h[i] . k_h[j]
+    probs  = plain per-ROW softmax (f32)   # each row is one (head, query)
+    o2     = probs (H*N, N) @ v (N, D)     # o2[h*N+i, :] = head-h mix, all ch
+    out    = sum_h o2[h*N:(h+1)*N] * (chan // dh == h)   # head-select
 
-``out`` lands with head h's values exactly in channel block h — the
-standard concat-heads layout — with zero gather/scatter work.
+Row-stacking beats the earlier column-stacked ("kexp") variant because
+the N axis only needs SUBLANE alignment (16 for bf16) instead of the
+128-lane alignment per-head column slices required: at the fine level
+(N=145) the scores matrix shrinks from 256x1024 to 640x160 — a ~2x cut
+in padded MXU work — and the softmax needs no per-head column slicing.
 
 Dead-item skip: levels 2/3 run at fixed capacity with alive items sorted
 first (models/cascade.py); given the per-item ``alive`` mask the kernel
@@ -44,42 +48,70 @@ def _round_up(x: int, m: int) -> int:
 def pick_block(n: int, d: int, nheads: int, dtype, layer: bool):
     """Largest batch-tile size whose kernel fits scoped VMEM, or None.
 
-    Calibrated against measured Mosaic stack allocations on v5e (the
-    compiler's scoped-vmem limit is 16 MB): at the fine-level shape
-    (Np=256, Dp=384, H=4) the f32 layer kernel allocated 26.43 MB at
-    tb=2 vs this model's 17.3 MB — f32 runs ~1.55x the model (extra
-    f32 dot copies), so the f32 budget is 9.5 MB model-bytes; bf16
-    tracked the model closely (tb=4 passed at 14.6 MB) and gets 15 MB.
-    Returns None when even tb=1 does not fit (callers fall back to the
-    attention-only kernel or the XLA path).
+    Analytic model of the row-stacked ("qexp") kernels, validated on v5e
+    against Mosaic's scoped-vmem limit (16 MB): per item the kernel holds
+    qexp (H*Np, Dp) + two f32 score buffers (H*Np, lane-padded Np) + the
+    f32 o2 (H*Np, Dp); the layer variant adds resident weights and the
+    flat q/k/v projections.  f32 runs with extra f32 dot copies, so it
+    gets a smaller budget (the old column-stacked f32 fine-level layer
+    kernel measured 1.55x its model).  Returns None when even tb=1 does
+    not fit (callers fall back to the attention-only kernel or XLA).
     """
     is_ = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
+    np_ = _round_up(n, 16 if is_ == 2 else 8)
+    npl = _round_up(np_, 128)                   # lane pad of score cols
+    dp = _round_up(d, 128)
+    per_item = (nheads * np_ * dp * (is_ + 4)   # qexp + f32 o2
+                + 2 * nheads * np_ * npl * 4)   # scores + probs (f32)
     if layer:
-        np_, dp = _round_up(n, 128), _round_up(d, 128)
-        tile_arrays = 9      # x,src in (x2 dbl-buf), out (x2), q/k/v, scratch
+        tile_arrays = 9      # x,src in (x2 dbl-buf), out (x2), scratch
+        fixed = 4 * dp * dp * is_               # resident weights
+        per_item += 3 * np_ * dp * (is_ + 4)    # q/k/v rows + f32 temps
     else:
-        np_ = _round_up(n, 16 if is_ == 2 else 8)
-        dp = _round_up(d, 128)
         tile_arrays = 8      # q,k,v,out tiles x2 double-buffering
-    fixed = (2 * nheads * np_ * dp * (is_ + 2)      # kexp/vexp + temps
-             + 3 * nheads * np_ * np_ * 4)          # s, parts, p (f32)
-    if layer:
-        fixed += 4 * dp * dp * is_                  # resident weights
-    budget = (15 << 20) if is_ == 2 else int(9.5 * 2 ** 20)
-    for tb in (16, 8, 4, 2, 1):
-        if fixed + tile_arrays * tb * np_ * dp * is_ <= budget:
+        fixed = 0
+    budget = (14 << 20) if is_ == 2 else (11 << 20)
+    for tb in (32, 16, 8, 4, 2, 1):
+        if fixed + tb * (per_item + tile_arrays * np_ * dp * is_) <= budget:
             return tb
     return None
 
 
 def _expand_heads(x, nheads: int, dh: int):
-    """(Np, D) -> (H*Np, D) where row h*Np+j keeps only channels of head h."""
+    """(Np, D) -> (H*Np, D) where row h*Np+i keeps only channels of head h."""
     np_, d = x.shape
     x4 = jnp.broadcast_to(x[None], (nheads, np_, d))
     head = jax.lax.broadcasted_iota(jnp.int32, (nheads, np_, d), 0)
     chan = jax.lax.broadcasted_iota(jnp.int32, (nheads, np_, d), 2)
     x4 = jnp.where(chan // dh == head, x4, 0)
     return x4.reshape(nheads * np_, d)
+
+
+def _attend_one(q, k, v, key_pad, nheads: int, dh: int, scale: float):
+    """Row-stacked multi-head attention for ONE item, 2-D dots only.
+
+    q/k/v: (Np, D) with head h in channels [h*dh, (h+1)*dh); key_pad:
+    (1, Np) bool marking padded key tokens.  Returns (Np, D) f32 in the
+    concat-heads layout."""
+    np_, d = q.shape
+    qexp = _expand_heads(q, nheads, dh)                       # (H*Np, D)
+    s = jax.lax.dot_general(
+        qexp, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale           # (H*Np, Np)
+    s = jnp.where(key_pad, -1e30, s)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o2 = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (H*Np, D)
+    # head-select: out[i, c] = o2[(c // dh) * Np + i, c]
+    chan = jax.lax.broadcasted_iota(jnp.int32, (np_, d), 1)
+    out = jnp.zeros((np_, d), jnp.float32)
+    for h in range(nheads):
+        out = out + jnp.where(chan // dh == h,
+                              o2[h * np_:(h + 1) * np_, :], 0.0)
+    return out
 
 
 def _kernel(alive_ref, q_ref, k_ref, v_ref, o_ref, *, tb: int, n_real: int,
@@ -89,7 +121,7 @@ def _kernel(alive_ref, q_ref, k_ref, v_ref, o_ref, *, tb: int, n_real: int,
     # grid step (per-item @pl.when made compiles pathologically slow);
     # alive-first compaction means at most one mixed tile per call.
     np_ = q_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, nheads * np_), 1) % np_
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
     key_pad = col >= n_real                       # padded key tokens
     tile_alive = alive_ref[pl.program_id(0)]
 
@@ -100,26 +132,8 @@ def _kernel(alive_ref, q_ref, k_ref, v_ref, o_ref, *, tb: int, n_real: int,
     @pl.when(tile_alive != 0)
     def _compute():
         for t in range(tb):                       # unrolled: 2-D dots only
-            q = q_ref[t]                          # (Np, D)
-            kexp = _expand_heads(k_ref[t], nheads, dh)
-            vexp = _expand_heads(v_ref[t], nheads, dh)
-            s = jax.lax.dot_general(
-                q, kexp, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale   # (Np, H*Np)
-            s = jnp.where(key_pad, -1e30, s)
-            # per-(row, head-block) softmax; static 2-D column slices
-            # (Mosaic cannot shape-cast (Np, H*Np) -> (Np, H, Np))
-            parts = []
-            for h in range(nheads):
-                sh = s[:, h * np_:(h + 1) * np_]
-                sh = sh - jnp.max(sh, axis=-1, keepdims=True)
-                e = jnp.exp(sh)
-                parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
-            p = jnp.concatenate(parts, axis=1)
-            o = jax.lax.dot_general(
-                p.astype(v_ref.dtype), vexp,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (Np, D)
+            o = _attend_one(q_ref[t], k_ref[t], v_ref[t], key_pad,
+                            nheads, dh, scale)
             o_ref[t] = o.astype(o_ref.dtype)
 
 
@@ -240,7 +254,7 @@ def _layer_kernel(alive_ref, x_ref, s_ref, wq_ref, wk_ref, wv_ref, wm_ref,
     accumulated in a scratch and merged in one dot."""
     np_ = x_ref.shape[1]
     d = x_ref.shape[2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, nheads * np_), 1) % np_
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
     key_pad = col >= n_real
     tile_alive = alive_ref[pl.program_id(0)]
 
@@ -260,24 +274,10 @@ def _layer_kernel(alive_ref, x_ref, s_ref, wq_ref, wk_ref, wv_ref, wm_ref,
         k_all = (dot(sf, wk_ref[:]) + bk_ref[:]).astype(xf.dtype)
         v_all = (dot(sf, wv_ref[:]) + bv_ref[:]).astype(xf.dtype)
         for t in range(tb):                       # unrolled: 2-D dots only
-            q = q_all[t * np_:(t + 1) * np_]
-            kexp = _expand_heads(k_all[t * np_:(t + 1) * np_], nheads, dh)
-            vexp = _expand_heads(v_all[t * np_:(t + 1) * np_], nheads, dh)
-            s = jax.lax.dot_general(
-                q, kexp, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale   # (Np, H*Np)
-            s = jnp.where(key_pad, -1e30, s)
-            parts = []
-            for h in range(nheads):
-                sh = s[:, h * np_:(h + 1) * np_]
-                sh = sh - jnp.max(sh, axis=-1, keepdims=True)
-                e = jnp.exp(sh)
-                parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
-            p = jnp.concatenate(parts, axis=1)
-            o = jax.lax.dot_general(
-                p.astype(xf.dtype), vexp,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (Np, D)
+            o = _attend_one(q_all[t * np_:(t + 1) * np_],
+                            k_all[t * np_:(t + 1) * np_],
+                            v_all[t * np_:(t + 1) * np_],
+                            key_pad, nheads, dh, scale)
             o_scr[t * np_:(t + 1) * np_, :] = o.astype(o_scr.dtype)
         msg = dot(o_scr[:], wm_ref[:]) + bm_ref[:]            # (tb*Np, D)
         o_ref[:] = msg.reshape(tb, np_, d).astype(o_ref.dtype)
@@ -292,7 +292,7 @@ def _layer_core(nheads: int, scale: float, block_b, interpret: bool):
         B, N, D = x.shape
         dh = D // nheads
         assert D == nheads * dh
-        Np = _round_up(N, 128)
+        Np = _round_up(N, 16 if x.dtype == jnp.bfloat16 else 8)
         Dp = _round_up(D, 128)
         bb = block_b
         if bb is None:
