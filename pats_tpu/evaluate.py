@@ -149,6 +149,9 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
         return max(1, min(cap, budget // cells))
 
     def flush(bucket, items):
+        from pats_tpu.parallel.fault import fault_point
+
+        fault_point("eval_flush")      # chaos-test site (parallel/fault.py)
         h, w = bucket
         t0 = time.time()
         stats = []
@@ -243,6 +246,10 @@ def main(argv=None):
                         choices=["default", "float32", "highest"],
                         help="TPU f32 matmuls default to bf16 multiplies; "
                              "checkpoint-parity eval should keep float32")
+    parser.add_argument("--max-restarts", type=int, default=0,
+                        help="elastic recovery: restart a crashed eval loop "
+                             "this many times (requires --resume so restarts "
+                             "skip completed pairs)")
     args = parser.parse_args(argv)
 
     import yaml
@@ -289,9 +296,24 @@ def main(argv=None):
         matcher = Matcher(cfg, seed=cfg.eval.seed)
 
     dataset = build_dataset(cfg)
-    metric = evaluate(matcher, dataset, args.scale_factor, cfg.eval.threshold,
-                      resume_path=args.resume, batch_size=args.batch_size,
-                      bucket_quantum=args.bucket_quantum)
+
+    def _run():
+        return evaluate(matcher, dataset, args.scale_factor,
+                        cfg.eval.threshold, resume_path=args.resume,
+                        batch_size=args.batch_size,
+                        bucket_quantum=args.bucket_quantum)
+
+    if args.max_restarts > 0:
+        from pats_tpu.parallel.fault import run_with_recovery
+
+        assert args.resume, "--max-restarts needs --resume shards"
+        metric = run_with_recovery(
+            _run, max_restarts=args.max_restarts,
+            on_restart=lambda n, e: print(
+                json.dumps({"restart": n, "error": repr(e)}),
+                file=sys.stderr, flush=True))
+    else:
+        metric = _run()
     print("-" * 5 + f"Evaluation on {cfg.eval.dataset}" + "-" * 5)
     for key, value in metric.items():
         print(f"{key}: {value}")

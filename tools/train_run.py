@@ -117,12 +117,19 @@ def main():
                            seed=7, **warp_kw)
     fh = open(args.out, "w")
     t0 = time.time()
+    # liveness stamps for the heartbeat monitor (parallel/fault.py);
+    # a beat per logged step proves *progress*, not just existence
+    from pats_tpu.parallel.fault import Heartbeat
+
+    hb = Heartbeat(os.path.join(os.path.dirname(args.out) or ".",
+                                "heartbeats"))
     for step, batch in enumerate(it):
         if step >= args.steps:
             break
         batch = {k: batch[k] for k in ("left", "right", "gt_pos",
                                        "gt_class")}
         state, m = trainer.step(state, jax.random.fold_in(key, step), batch)
+        hb.beat(step)
         if step % args.eval_every == 0 or step == args.steps - 1:
             loss = float(np.asarray(m["loss"]))      # sync point
             gnorm = float(np.asarray(m["grad_norm"]))
