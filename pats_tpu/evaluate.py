@@ -148,15 +148,60 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
         cells = (bucket[0] // 32) * (bucket[1] // 32)
         return max(1, min(cap, budget // cells))
 
+    def finalize(pairs, stats, chunk, bucket, t0):
+        """Host-side per-pair pose math + recording for one chunk."""
+        dt = (time.time() - t0) / len(chunk)
+        for (i, d), (ml, mr), st in zip(chunk, pairs, stats):
+            ml, mr = _crop_pad_matches(ml, mr, d["image0"].shape[0],
+                                       d["image0"].shape[1])
+            r, t = compute_pose_error(ml, mr, d["K0"], d["K1"],
+                                      d["T0"], d["T1"],
+                                      scale_factor, threshold)
+            # mean |GT-epipolar distance| (reference Compute_accuracy's
+            # point_errs, utils/utils.py:544)
+            epi = epipolar_errors(ml, mr, d["K0"], d["K1"], d["T0"],
+                                  d["T1"], scale_factor)
+            epi = epi[np.isfinite(epi)]    # zero-baseline pairs give nan
+            epi = float(np.mean(np.abs(epi))) if len(epi) else None
+            record(i, r, t, dt, bucket, st, epi)
+
+    # depth-1 dispatch pipeline (the "cascade pipelining" axis of
+    # SURVEY.md par.2.7): while the device runs chunk k, the host does
+    # the pose-RANSAC/epipolar math of chunk k-1 and pads chunk k+1 —
+    # JAX dispatch is async, so the only sync point is collect()
+    in_flight = []          # [(handle, chunk, bucket, t0)], len <= 1
+
+    def drain():
+        while in_flight:
+            handle, chunk, bkt, t0 = in_flight.pop(0)
+            pairs = runner.collect(handle)
+            stats = getattr(runner, "last_stats", [{}] * len(chunk))
+            finalize(pairs, stats, chunk, bkt, t0)
+
     def flush(bucket, items):
         from pats_tpu.parallel.fault import fault_point
 
         fault_point("eval_flush")      # chaos-test site (parallel/fault.py)
         h, w = bucket
+        if runner is not None and hasattr(runner, "dispatch_batch"):
+            per = bucket_batch(bucket)
+            for s in range(0, len(items), per):
+                chunk = items[s:s + per]
+                t0 = time.time()
+                handle = runner.dispatch_batch(
+                    [_pad_to(d["image0"], h, w) for _, d in chunk],
+                    [_pad_to(d["image1"], h, w) for _, d in chunk],
+                    batch_size=per)
+                prev, in_flight[:] = list(in_flight), [(handle, chunk,
+                                                        bucket, t0)]
+                for p in prev:         # overlaps this chunk's device run
+                    pairs = runner.collect(p[0])
+                    stats = getattr(runner, "last_stats", [{}] * len(p[1]))
+                    finalize(pairs, stats, p[1], p[2], p[3])
+            return
         t0 = time.time()
-        stats = []
-        if runner is not None:
-            pairs = []
+        if runner is not None:         # runner without async dispatch
+            pairs, stats = [], []
             per = bucket_batch(bucket)
             for s in range(0, len(items), per):
                 chunk = items[s:s + per]
@@ -170,20 +215,7 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
                                    _pad_to(d["image1"], h, w))
                      for _, d in items]
             stats = [{"n_matches": len(ml)} for ml, _ in pairs]
-        dt = (time.time() - t0) / len(items)
-        for (i, d), (ml, mr), st in zip(items, pairs, stats):
-            ml, mr = _crop_pad_matches(ml, mr, d["image0"].shape[0],
-                                       d["image0"].shape[1])
-            r, t = compute_pose_error(ml, mr, d["K0"], d["K1"],
-                                      d["T0"], d["T1"],
-                                      scale_factor, threshold)
-            # mean |GT-epipolar distance| (reference Compute_accuracy's
-            # point_errs, utils/utils.py:544)
-            epi = epipolar_errors(ml, mr, d["K0"], d["K1"], d["T0"],
-                                  d["T1"], scale_factor)
-            epi = epi[np.isfinite(epi)]    # zero-baseline pairs give nan
-            epi = float(np.mean(np.abs(epi))) if len(epi) else None
-            record(i, r, t, dt, bucket, st, epi)
+        finalize(pairs, stats, items, bucket, t0)
 
     cap = runner.batch_size if runner is not None else 1
     buffers = {}
@@ -199,6 +231,7 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
             flush(bucket, buffers.pop(bucket))
     for bucket, items in sorted(buffers.items()):
         flush(bucket, items)
+    drain()                  # sync + finalize the last in-flight chunk
     if fh:
         fh.close()
     # per-bucket run summary (observability): mean wall time + mean

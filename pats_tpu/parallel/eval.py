@@ -56,14 +56,15 @@ class ShardedMatcher:
                 out_shardings=self.replicated)
         return self._fns[shape]
 
-    def match_batch(self, images0, images1,
-                    batch_size: Optional[int] = None
-                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
-        """images0/images1: (B, H, W, 3) arrays (B <= batch_size; padded
-        internally).  ``batch_size`` overrides the construction-time batch
-        for this call (rounded up to a multiple of the data-axis size) —
-        large-resolution buckets use smaller batches to bound the cascade's
-        HBM footprint.  Returns per-pair compacted (ml, mr) host arrays."""
+    def dispatch_batch(self, images0, images1,
+                       batch_size: Optional[int] = None):
+        """Asynchronously launch matching for a batch; returns a handle.
+
+        JAX dispatch is async: the returned handle holds device arrays
+        whose computation is in flight.  The caller overlaps host work
+        (preprocessing the next batch, pose-RANSAC of the previous one)
+        with device execution and calls :meth:`collect` to sync.
+        """
         B = len(images0)
         data = self.mesh.shape[self.config.runtime.data_axis]
         BS = batch_size or self.batch_size
@@ -73,10 +74,14 @@ class ShardedMatcher:
         left[:B] = images0
         right[:B] = images1
         fn = self._fn(left.shape[:3])
-        ml, mr, valid, n_c, n_f = fn(
-            self.variables,
-            jax.device_put(left, self.batch_sharding),
-            jax.device_put(right, self.batch_sharding))
+        out = fn(self.variables,
+                 jax.device_put(left, self.batch_sharding),
+                 jax.device_put(right, self.batch_sharding))
+        return (out, B)
+
+    def collect(self, handle) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Sync a :meth:`dispatch_batch` handle to host arrays."""
+        (ml, mr, valid, n_c, n_f), B = handle
         ml = np.asarray(ml)
         mr = np.asarray(mr)
         valid = np.asarray(valid)
@@ -88,3 +93,13 @@ class ShardedMatcher:
             {"n_coarse": int(n_c[i]), "n_fine": int(n_f[i]),
              "n_matches": int(valid[i].sum())} for i in range(B)]
         return [(ml[i][valid[i]], mr[i][valid[i]]) for i in range(B)]
+
+    def match_batch(self, images0, images1,
+                    batch_size: Optional[int] = None
+                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """images0/images1: (B, H, W, 3) arrays (B <= batch_size; padded
+        internally).  ``batch_size`` overrides the construction-time batch
+        for this call (rounded up to a multiple of the data-axis size) —
+        large-resolution buckets use smaller batches to bound the cascade's
+        HBM footprint.  Returns per-pair compacted (ml, mr) host arrays."""
+        return self.collect(self.dispatch_batch(images0, images1, batch_size))

@@ -76,9 +76,18 @@ def position_loss(res: ExpandResult, plan: jnp.ndarray, labels: LevelLabels,
     return (weight ** 2) * jnp.sum(jnp.where(gate, d2, 0.0)) / denom
 
 
-def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels
-                   ) -> jnp.ndarray:
-    """Push negative patches into the dustbin, positives out of it."""
+def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels,
+                   anti_collapse: bool = True) -> jnp.ndarray:
+    """Push negative patches into the dustbin, positives out of it.
+
+    The reference's mismatching term is the raw dustbin LOG-score
+    (utils.py:1572-1579), which vanishes as p_dustbin -> 1: confidently
+    dustbinning every positive is then a near-zero-loss attractor, and
+    from-scratch training fell into it for ~200 steps (round-2 curve,
+    STATUS.md).  ``anti_collapse`` swaps it for -log(1 - p_dustbin),
+    which grows without bound as the dustbin saturates — same gradient
+    direction, no attractor.
+    """
     dustbin = plan[:, :-1, -1]           # log dustbin score per source
     negative = labels.gt_class < 0
     positive = labels.gt_class > 0
@@ -86,8 +95,13 @@ def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels
     n_neg = jnp.sum(negative.astype(jnp.float32)) + 10.0
     n_pos = jnp.sum(positive.astype(jnp.float32)) + 10.0
     nomatching = jnp.sum(jnp.where(negative & matched, -dustbin, 0.0)) / n_neg
+    if anti_collapse:
+        p = jnp.exp(jnp.minimum(dustbin, -1e-4))
+        pen = jnp.minimum(-jnp.log1p(-p), 20.0)
+    else:
+        pen = dustbin
     mismatching = jnp.sum(
-        jnp.where(positive & res.if_nomatching, dustbin, 0.0)) / n_pos
+        jnp.where(positive & res.if_nomatching, pen, 0.0)) / n_pos
     return nomatching + 5.0 * mismatching
 
 

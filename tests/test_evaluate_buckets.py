@@ -94,6 +94,49 @@ def test_bucketed_loop_single(tmp_path):
     assert out2 == out
 
 
+def test_pipelined_dispatch_overlap(monkeypatch):
+    """Async depth-1 pipeline: the host finalizes chunk k only AFTER
+    dispatching chunk k+1, so pose math overlaps device execution."""
+    events = []
+    g = np.stack(np.meshgrid(np.arange(8, 48, 8), np.arange(8, 48, 8),
+                             indexing="ij"), -1).reshape(-1, 2)
+    g = g.astype(np.float32)
+
+    class _AsyncSharded:
+        def __init__(self, config, mesh, variables, batch_size):
+            self.batch_size = batch_size
+            self._n = 0
+
+        def dispatch_batch(self, ims0, ims1, batch_size=None):
+            h = self._n
+            self._n += 1
+            events.append(("dispatch", h))
+            return (h, len(ims0))
+
+        def collect(self, handle):
+            h, n = handle
+            events.append(("collect", h))
+            self.last_stats = [{} for _ in range(n)]
+            return [(g, g) for _ in range(n)]
+
+    import pats_tpu.parallel.eval as pe
+    import pats_tpu.parallel.mesh as pm
+
+    monkeypatch.setattr(pe, "ShardedMatcher", _AsyncSharded)
+
+    class _FakeMesh:
+        shape = {"data": 1}
+
+    monkeypatch.setattr(pm, "make_mesh", lambda model=1: _FakeMesh())
+    shapes = [(64, 64)] * 6
+    out = ev.evaluate(_StubMatcher(), _dataset(shapes), 1.0, 0.25,
+                      progress=False, batch_size=2, bucket_quantum=64)
+    # 3 chunks; chunk k is collected after chunk k+1 is dispatched
+    assert events == [("dispatch", 0), ("dispatch", 1), ("collect", 0),
+                      ("dispatch", 2), ("collect", 1), ("collect", 2)]
+    assert set(out) >= {"auc@5", "auc@10", "auc@20"}
+
+
 def test_bucketed_loop_batched(monkeypatch):
     """batch_size>1 flushes full buckets through the batched runner."""
     calls = []

@@ -77,7 +77,7 @@ def main():
     ap.add_argument("--clip", type=float, default=1.0)
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--eval-pairs", type=int, default=8)
-    ap.add_argument("--gnn-layers", type=int, default=9)
+    ap.add_argument("--gnn-layers", type=int, default=18)
     ap.add_argument("--out", default="/tmp/train_curve.jsonl")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
