@@ -79,14 +79,52 @@ def _residual_jacobians(prob: BAProblem):
     return r * w, A * w[..., None], B * w[..., None]
 
 
+def build_point_tracks(pt_idx, valid, num_points: int,
+                       max_track: int = 8):
+    """Host-side point-major observation table for the sparse Schur path.
+
+    Returns (P, max_track) int32 of observation indices, -1 padded.
+    Observations beyond ``max_track`` per point are dropped from the
+    CROSS blocks only (they still contribute to U/V/b exactly), which
+    keeps shapes static; max_track should exceed the realistic track
+    length (a landmark is seen by few keyframes).
+    """
+    import numpy as np
+
+    pt = np.asarray(pt_idx)
+    ok = np.asarray(valid)
+    tracks = np.full((num_points, max_track), -1, np.int32)
+    fill = np.zeros(num_points, np.int32)
+    for o in np.nonzero(ok)[0]:
+        p = pt[o]
+        if fill[p] < max_track:
+            tracks[p, fill[p]] = o
+            fill[p] += 1
+    return tracks
+
+
 def gauss_newton_step(prob: BAProblem, damping: float = 1e-4,
-                      axis_name: Optional[str] = None
+                      axis_name: Optional[str] = None,
+                      tracks: Optional[jnp.ndarray] = None,
+                      n_fixed: int = 1
                       ) -> Tuple[BAProblem, jnp.ndarray]:
     """One damped GN step; returns (updated problem, mean sq residual).
 
     With ``axis_name`` the normal-equation accumulations psum over the
     mesh axis (observations sharded, states replicated).
+
+    With ``tracks`` (point-major observation table, build_point_tracks)
+    the camera-point cross blocks are never materialized as the dense
+    (M, P, 6, 3) W array: the Schur products reduce over each point's
+    track instead — O(P * D^2) memory/work for track cap D, the same
+    sparsity a CPU solver (e.g. ceres SPARSE_SCHUR) exploits.  Single
+    device only (the track table is point-major while psum shards
+    observations).
+
+    ``n_fixed`` leading cameras are frozen (gauge / sliding-window BA).
     """
+    if tracks is not None and axis_name is not None:
+        raise ValueError("tracks path is single-device (no axis_name)")
     M = prob.R.shape[0]
     P = prob.X.shape[0]
     r, A, B = _residual_jacobians(prob)
@@ -99,40 +137,70 @@ def gauss_newton_step(prob: BAProblem, damping: float = 1e-4,
                               prob.cam_idx, num_segments=M)  # (M, 6)
     b_p = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", B, r),
                               prob.pt_idx, num_segments=P)   # (P, 3)
-    # dense cross blocks W (M, P, 6, 3) via one-hot scatter
-    Wd = jnp.zeros((M, P, 6, 3))
-    Wd = Wd.at[prob.cam_idx, prob.pt_idx].add(
-        jnp.einsum("oki,okj->oij", A, B))
-
     if axis_name is not None:
         U = jax.lax.psum(U, axis_name)
         V = jax.lax.psum(V, axis_name)
         b_c = jax.lax.psum(b_c, axis_name)
         b_p = jax.lax.psum(b_p, axis_name)
-        Wd = jax.lax.psum(Wd, axis_name)
 
     U = U + damping * jnp.eye(6)
     V = V + damping * jnp.eye(3)
     Vinv = jnp.linalg.inv(V)                                 # (P, 3, 3)
 
-    # Schur complement: S = U_blkdiag - W Vinv W^T
-    WVinv = jnp.einsum("mpij,pjk->mpik", Wd, Vinv)           # (M, P, 6, 3)
-    S_off = jnp.einsum("mpik,npjk->mnij", WVinv, Wd)         # (M, M, 6, 6)
+    G = jnp.einsum("oki,okj->oij", A, B)      # per-obs W block (O, 6, 3)
+    if tracks is None:
+        # dense cross blocks W (M, P, 6, 3) via one-hot scatter
+        Wd = jnp.zeros((M, P, 6, 3))
+        Wd = Wd.at[prob.cam_idx, prob.pt_idx].add(G)
+        if axis_name is not None:
+            Wd = jax.lax.psum(Wd, axis_name)
+        # Schur complement: S = U_blkdiag - W Vinv W^T
+        WVinv = jnp.einsum("mpij,pjk->mpik", Wd, Vinv)       # (M, P, 6, 3)
+        S_off = jnp.einsum("mpik,npjk->mnij", WVinv, Wd)     # (M, M, 6, 6)
+        rhs = b_c - jnp.einsum("mpik,pk->mi", WVinv, b_p)    # (M, 6)
+
+        def back_substitute(dx_c):
+            return jnp.einsum(
+                "pij,pj->pi", Vinv,
+                -(b_p + jnp.einsum("mpik,mi->pk", Wd, dx_c)))
+    else:
+        # sparse Schur over point tracks: only a point's own
+        # observations couple cameras through it
+        tmask = tracks >= 0                                  # (P, D)
+        tr = jnp.maximum(tracks, 0)
+        H = G[tr] * tmask[..., None, None]                   # (P, D, 6, 3)
+        cams = jnp.where(tmask, prob.cam_idx[tr], M)         # M = pad slot
+        T = jnp.einsum("pdij,pjk->pdik", H, Vinv)            # H Vinv
+        # S_off[m, n] = sum_p sum_{d,e} T[p,d] H[p,e]^T  (cams d->m, e->n)
+        pair = jnp.einsum("pdik,pejk->pdeij", T, H)          # (P,D,D,6,6)
+        mn = (cams[:, :, None] * (M + 1) + cams[:, None, :]).reshape(-1)
+        S_off = jax.ops.segment_sum(
+            pair.reshape(-1, 6, 6), mn,
+            num_segments=(M + 1) * (M + 1)
+        ).reshape(M + 1, M + 1, 6, 6)[:M, :M]
+        corr = jax.ops.segment_sum(
+            jnp.einsum("pdik,pk->pdi", T, b_p).reshape(-1, 6),
+            cams.reshape(-1), num_segments=M + 1)[:M]
+        rhs = b_c - corr
+
+        def back_substitute(dx_c):
+            dxc_pad = jnp.concatenate([dx_c, jnp.zeros((1, 6))])
+            acc = jnp.einsum("pdij,pdi->pj", H, dxc_pad[cams])
+            return jnp.einsum("pij,pj->pi", Vinv, -(b_p + acc))
+
     S = -S_off
     S = S.at[jnp.arange(M), jnp.arange(M)].add(U)
-    rhs = b_c - jnp.einsum("mpik,pk->mi", WVinv, b_p)        # (M, 6)
 
-    # gauge fixing: freeze camera 0
+    # gauge fixing: freeze the first n_fixed cameras
     Sd = S.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
     rd = rhs.reshape(6 * M)
-    fix = jnp.arange(6 * M) < 6
+    fix = jnp.arange(6 * M) < 6 * n_fixed
     Sd = jnp.where(fix[:, None] | fix[None, :], 0.0, Sd)
     Sd = Sd + jnp.diag(fix.astype(Sd.dtype))
     rd = jnp.where(fix, 0.0, rd)
 
     dx_c = jnp.linalg.solve(Sd, -rd).reshape(M, 6)
-    dx_p = jnp.einsum("pij,pj->pi",
-                      Vinv, -(b_p + jnp.einsum("mpik,mi->pk", Wd, dx_c)))
+    dx_p = back_substitute(dx_c)
 
     R_new = jnp.einsum("mij,mjk->mik", prob.R, _exp_so3(dx_c[:, :3]))
     t_new = prob.t + dx_c[:, 3:]
@@ -150,13 +218,15 @@ def gauss_newton_step(prob: BAProblem, damping: float = 1e-4,
 
 def run_bundle_adjustment(prob: BAProblem, iters: int = 10,
                           damping: float = 1e-4,
-                          axis_name: Optional[str] = None
+                          axis_name: Optional[str] = None,
+                          tracks: Optional[jnp.ndarray] = None,
+                          n_fixed: int = 1
                           ) -> Tuple[BAProblem, jnp.ndarray]:
     """Run ``iters`` GN steps; returns final problem + residual history."""
 
     def body(carry, _):
         p, _ = carry
-        p2, mse = gauss_newton_step(p, damping, axis_name)
+        p2, mse = gauss_newton_step(p, damping, axis_name, tracks, n_fixed)
         return (p2, mse), mse
 
     (prob, _), hist = jax.lax.scan(body, (prob, jnp.asarray(0.0)),

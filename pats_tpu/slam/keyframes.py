@@ -21,7 +21,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from pats_tpu.slam.ba import BAProblem, run_bundle_adjustment
+from pats_tpu.slam.ba import (BAProblem, build_point_tracks,
+                              run_bundle_adjustment)
 from pats_tpu.slam.geometry import triangulate
 from pats_tpu.slam.pipeline import normalize_keypoints, two_view_pose
 
@@ -109,28 +110,81 @@ class KeyframeGraph:
             self.obs_pt += [pid, pid]
             self.obs_uv += [x0[j], x1[j]]
 
-    def optimize(self, iters: int = 5, damping: float = 1e-4) -> float:
-        """Run bundle adjustment over the whole graph; returns final MSE."""
-        if len(self.keyframes) < 2 or not self.landmarks:
+    def optimize(self, iters: int = 5, damping: float = 1e-4,
+                 window: Optional[int] = None, max_track: int = 8) -> float:
+        """Bundle-adjust the graph; returns final MSE.
+
+        ``window=None``: full BA (camera 0 is the gauge anchor).
+        ``window=K``: local/sliding-window BA — only the last K
+        keyframes move; landmarks they observe are refined, and older
+        cameras co-observing those landmarks participate FROZEN (they
+        anchor scale/gauge without being solved for).  This keeps
+        mapping cost bounded as the graph grows — the standard local-BA
+        scheme (e.g. ORB-SLAM); the reference has no mapping back-end.
+
+        Both paths use the sparse track-table Schur solve (slam/ba.py
+        ``tracks``), never materializing the dense (M, P, 6, 3) cross
+        blocks.
+        """
+        M = len(self.keyframes)
+        if M < 2 or not self.landmarks:
             return 0.0
+        obs_cam = np.asarray(self.obs_cam, np.int32)
+        obs_pt = np.asarray(self.obs_pt, np.int32)
+        obs_uv = np.stack(self.obs_uv).astype(np.float32)
+
+        if window is None or window >= M:
+            cam_order = np.arange(M)
+            n_fixed = 1
+            keep_obs = np.arange(len(obs_cam))
+            pt_sel = np.arange(len(self.landmarks))
+        else:
+            free_from = M - window
+            pt_sel = np.unique(obs_pt[obs_cam >= free_from])
+            keep_obs = np.nonzero(np.isin(obs_pt, pt_sel))[0]
+            cams_in = np.unique(obs_cam[keep_obs])
+            frozen = cams_in[cams_in < free_from]
+            free = np.arange(free_from, M)
+            cam_order = np.concatenate([frozen, free])
+            # local BA needs an anchor: with no frozen co-observer the
+            # oldest window camera becomes the gauge
+            n_fixed = max(len(frozen), 1)
+        if len(pt_sel) == 0 or len(keep_obs) == 0:
+            return 0.0
+        cam_remap = np.full(M, -1, np.int32)
+        cam_remap[cam_order] = np.arange(len(cam_order))
+        pt_remap = np.full(len(self.landmarks), -1, np.int32)
+        pt_remap[pt_sel] = np.arange(len(pt_sel))
+
+        cam_idx = cam_remap[obs_cam[keep_obs]]
+        pt_idx = pt_remap[obs_pt[keep_obs]]
+        valid = np.ones(len(keep_obs), bool)
+        tracks = build_point_tracks(pt_idx, valid, len(pt_sel), max_track)
         prob = BAProblem(
-            R=jnp.asarray(np.stack([k.R for k in self.keyframes]),
+            R=jnp.asarray(np.stack([self.keyframes[i].R
+                                    for i in cam_order]), jnp.float32),
+            t=jnp.asarray(np.stack([self.keyframes[i].t
+                                    for i in cam_order]), jnp.float32),
+            X=jnp.asarray(np.stack([self.landmarks[j] for j in pt_sel]),
                           jnp.float32),
-            t=jnp.asarray(np.stack([k.t for k in self.keyframes]),
-                          jnp.float32),
-            X=jnp.asarray(np.stack(self.landmarks), jnp.float32),
-            cam_idx=jnp.asarray(self.obs_cam, jnp.int32),
-            pt_idx=jnp.asarray(self.obs_pt, jnp.int32),
-            uv=jnp.asarray(np.stack(self.obs_uv), jnp.float32),
-            valid=jnp.ones(len(self.obs_uv), bool))
-        out, hist = run_bundle_adjustment(prob, iters=iters, damping=damping)
+            cam_idx=jnp.asarray(cam_idx),
+            pt_idx=jnp.asarray(pt_idx),
+            uv=jnp.asarray(obs_uv[keep_obs]),
+            valid=jnp.asarray(valid))
+        out, hist = run_bundle_adjustment(
+            prob, iters=iters, damping=damping,
+            tracks=jnp.asarray(tracks), n_fixed=n_fixed)
         R = np.asarray(out.R)
         t = np.asarray(out.t)
-        for i, kf in enumerate(self.keyframes):
-            kf.R, kf.t = R[i], t[i]
+        # frozen cams get dx == 0; skip them to avoid an f32 round-trip
+        skip = n_fixed if window is not None and window < M else 0
+        for k, i in enumerate(cam_order):
+            if k >= skip:
+                self.keyframes[i].R = R[k]
+                self.keyframes[i].t = t[k]
         X = np.asarray(out.X)
-        for j in range(len(self.landmarks)):
-            self.landmarks[j] = X[j]
+        for k, j in enumerate(pt_sel):
+            self.landmarks[j] = X[k]
         return float(np.asarray(hist)[-1])
 
     def close_loops(self, matcher, **kwargs):

@@ -78,3 +78,39 @@ def test_ba_sharded_matches_single(rng):
                                rtol=1e-3, atol=1e-9)
     np.testing.assert_allclose(np.asarray(t2), np.asarray(single.t),
                                atol=1e-4)
+
+
+def test_ba_sparse_tracks_matches_dense(rng):
+    """Track-table Schur path == dense-W path, bitwise-compatible GN."""
+    from pats_tpu.slam.ba import build_point_tracks
+
+    prob, *_ = _synthetic_ba(rng, n_cams=5, n_pts=40)
+    # drop some observations so tracks have uneven lengths
+    valid = np.asarray(prob.valid).copy()
+    valid[rng.choice(len(valid), size=30, replace=False)] = False
+    prob = prob._replace(valid=jnp.asarray(valid))
+    tracks = build_point_tracks(prob.pt_idx, prob.valid, prob.X.shape[0],
+                                max_track=8)
+    dense, h1 = run_bundle_adjustment(prob, iters=4, damping=1e-6)
+    sparse, h2 = run_bundle_adjustment(prob, iters=4, damping=1e-6,
+                                       tracks=jnp.asarray(tracks))
+    # f32 accumulation order differs (segment_sum over tracks vs dense
+    # einsum); histories agree to absolute noise at converged magnitudes
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               rtol=1e-3, atol=1e-10)
+    assert np.asarray(h2)[-1] < 1e-10
+    np.testing.assert_allclose(np.asarray(sparse.t), np.asarray(dense.t),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sparse.X), np.asarray(dense.X),
+                               atol=1e-3)
+
+
+def test_ba_n_fixed_freezes_cameras(rng):
+    prob, *_ = _synthetic_ba(rng, n_cams=5, n_pts=40)
+    out, _ = run_bundle_adjustment(prob, iters=3, damping=1e-6, n_fixed=3)
+    np.testing.assert_array_equal(np.asarray(out.R)[:3],
+                                  np.asarray(prob.R)[:3])
+    np.testing.assert_array_equal(np.asarray(out.t)[:3],
+                                  np.asarray(prob.t)[:3])
+    # free cameras moved
+    assert np.abs(np.asarray(out.t)[3:] - np.asarray(prob.t)[3:]).max() > 0

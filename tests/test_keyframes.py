@@ -57,3 +57,23 @@ def test_keyframe_graph_builds_and_optimizes(rng):
     # even though the absolute scale is unobservable
     dx = np.diff(traj[:, 0])
     assert (dx < 0).all()
+
+
+def test_windowed_local_ba(rng):
+    """window=K: older keyframes stay EXACTLY fixed, window poses and
+    co-observed landmarks improve."""
+    m = _SyntheticMatcher(rng)
+    g = KeyframeGraph(K=m.K, min_inlier_ratio=2.0)
+    g.add_first(_frame(0))
+    for i in range(1, 6):
+        g.track(m, _frame(i))
+    # perturb the last two keyframe poses + all landmarks slightly
+    rs = np.random.default_rng(3)
+    for kf in g.keyframes[-2:]:
+        kf.t = kf.t + rs.normal(scale=0.02, size=3)
+    old = [(kf.R.copy(), kf.t.copy()) for kf in g.keyframes[:-2]]
+    mse = g.optimize(iters=5, damping=1e-6, window=2)
+    assert mse < 1e-8, mse
+    for (R0, t0), kf in zip(old, g.keyframes[:-2]):
+        np.testing.assert_array_equal(kf.R, R0)
+        np.testing.assert_array_equal(kf.t, t0)
