@@ -41,13 +41,14 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main():
     from pats_tpu.config import ModelConfig
-    from pats_tpu.models.cascade import PATSCascade
+    from pats_tpu.models.cascade import PATSCascade, PATSCascadeBatched
 
     on_tpu = jax.devices()[0].platform != "cpu"
     mc = dataclasses.replace(ModelConfig(), use_bfloat16=True,
                              use_pallas_sinkhorn=on_tpu,
                              use_fused_attention=on_tpu)
     model = PATSCascade(config=mc, outdoor=True, merge_new=True)
+    bmodel = PATSCascadeBatched(config=mc, outdoor=True, merge_new=True)
 
     rng = np.random.default_rng(18027)
     left1 = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
@@ -61,13 +62,9 @@ def main():
 
     @jax.jit
     def fwd(variables, left, right, perturb):
-        def one(a, b):
-            out, _ = model.apply(variables, a, b + perturb,
-                                 mutable=["batch_stats"])
-            return out["matches_r"], out["valid"]
-
-        mr, valid = jax.vmap(one)(left, right)
-        return mr[0, 0, 0], valid.sum()
+        out, _ = bmodel.apply(variables, left, right + perturb,
+                              mutable=["batch_stats"])
+        return out["matches_r"][0, 0, 0], out["valid"].sum()
 
     t0 = time.time()
     s, nv = fwd(variables, left, right, jnp.float32(0.0))

@@ -49,19 +49,23 @@ class BasicBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 groups: Optional[jnp.ndarray] = None, num_groups: int = 1):
         ura = self.use_running_average
         residual = x
         y = _conv(self.features, 3, self.stride, "conv1", self.dtype)(x)
-        y = MaskedBatchNorm(use_running_average=ura, name="bn1")(y, mask)
+        y = MaskedBatchNorm(use_running_average=ura, name="bn1")(
+            y, mask, (), groups, num_groups)
         y = nn.relu(y)
         y = _conv(self.features, 3, 1, "conv2", self.dtype)(y)
-        y = MaskedBatchNorm(use_running_average=ura, name="bn2")(y, mask)
+        y = MaskedBatchNorm(use_running_average=ura, name="bn2")(
+            y, mask, (), groups, num_groups)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = _conv(self.features, 1, self.stride, "down_conv",
                              self.dtype)(x)
             residual = MaskedBatchNorm(use_running_average=ura,
-                                       name="down_bn")(residual, mask)
+                                       name="down_bn")(
+                residual, mask, (), groups, num_groups)
         return nn.relu(y + residual)
 
 
@@ -73,11 +77,12 @@ class _Stage(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 groups: Optional[jnp.ndarray] = None, num_groups: int = 1):
         for i in range(self.blocks):
             x = BasicBlock(self.features, self.stride if i == 0 else 1,
                            self.use_running_average, self.dtype,
-                           name=f"block_{i}")(x, mask)
+                           name=f"block_{i}")(x, mask, groups, num_groups)
         return x
 
 
@@ -113,13 +118,17 @@ class FineTrunk(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 groups: Optional[jnp.ndarray] = None, num_groups: int = 1
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         ura = self.use_running_average
         x0 = _conv(64, 7, 2, "conv1", self.dtype)(x)
-        x0 = MaskedBatchNorm(use_running_average=ura, name="bn1")(x0, mask)
+        x0 = MaskedBatchNorm(use_running_average=ura, name="bn1")(
+            x0, mask, (), groups, num_groups)
         x0 = nn.relu(x0)
         x1 = _max_pool_3x3_s2(x0)
-        x1 = _Stage(64, self.layers[0], 1, ura, self.dtype, name="layer1")(x1, mask)
-        x2 = _Stage(128, self.layers[1], 2, ura, self.dtype, name="layer2")(x1, mask)
+        x1 = _Stage(64, self.layers[0], 1, ura, self.dtype, name="layer1")(
+            x1, mask, groups, num_groups)
+        x2 = _Stage(128, self.layers[1], 2, ura, self.dtype, name="layer2")(
+            x1, mask, groups, num_groups)
         return x0, x1, x2

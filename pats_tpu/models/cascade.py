@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -183,4 +184,164 @@ class PATSCascade(nn.Module):
             "num_coarse": jnp.sum(r1["alive"].astype(jnp.int32)),
             "num_fine": jnp.sum(r2["cell_alive"].astype(jnp.int32)),
             "num_final": jnp.sum(valid.astype(jnp.int32)),
+        }
+
+
+class PATSCascadeBatched(nn.Module):
+    """Natively pair-batched cascade: levels 2/3 run FLAT over B*G crops.
+
+    ``jax.vmap(PATSCascade)`` is semantically identical but slower: the
+    vmap batch axis turns every level-2/3 activation into a rank-5
+    (B, G, h, w, C) tensor whose conv-adjacent reshapes force multi-GB
+    layout copies on TPU (~15-20% of the step at 640x480 batch 4).  Here
+    level 1 stays vmapped (its convs batch natively at rank 4), the crop
+    levels run as ONE flat (B*G, ...) batch, and the only per-pair
+    semantics — the cross-patch merge, the level-3 compaction, the
+    composition, and the batch-statistics BatchNorms of the refine level
+    (grouped MaskedBatchNorm) — are keyed by a pair-id vector.
+
+    The parameter tree is IDENTICAL to PATSCascade (same submodule names,
+    broadcast vmap axes), so converted reference checkpoints and trained
+    variables load into either.
+    """
+
+    config: ModelConfig
+    outdoor: bool = True
+    merge_new: bool = True
+
+    @nn.compact
+    def __call__(self, left: jnp.ndarray, right: jnp.ndarray):
+        """Args: left/right (B, H, W, 3) raw-valued float images.
+
+        Returns the PATSCascade dict with a leading batch axis:
+        matches_l/matches_r (B, G*2304, 2), valid (B, G*2304), and
+        per-pair (B,) occupancy counters.
+        """
+        cfg = self.config
+        B, H, W = left.shape[:3]
+        gh, gw = H // 32, W // 32
+        G = gh * gw
+        BG = B * G
+        dtype = jnp.bfloat16 if cfg.use_bfloat16 else None
+
+        c = cfg.coarse
+        CoarseV = nn.vmap(
+            CoarseMatcher, in_axes=(0, 0), out_axes=0,
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False, "dropout": False})
+        r1 = CoarseV(
+            descriptor_dim=c.descriptor_dim, gnn_layers=c.gnn_layers,
+            num_heads=c.num_heads, sinkhorn_iterations=c.sinkhorn_iterations,
+            score_temperature=c.score_temperature,
+            expand_iters=c.expand_iters,
+            expand_lower_bound=c.expand_lower_bound,
+            fused_attention=cfg.use_fused_attention,
+            pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            dtype=dtype, name="coarse")(left, right)
+
+        boxes, crop_scale, center = jax.vmap(
+            lambda p, xs, ys: _subdivide(p, xs, ys, H, W))(
+            r1["pts"], r1["x_scale"], r1["y_scale"])
+        right_pad = jnp.pad(right, ((0, 0), (_MARGIN, _MARGIN),
+                                    (_MARGIN, _MARGIN), (0, 0)))
+        right_crops = jax.vmap(
+            lambda img, bx: crop_resize_batch(img, bx, out_size=96))(
+            right_pad, boxes)
+        left_crops = jax.vmap(
+            lambda im: extract_patch_neighborhoods(im, patch=32))(left)
+
+        def flat(a):
+            return a.reshape((BG,) + a.shape[2:])
+
+        patch_pair = jnp.repeat(jnp.arange(B, dtype=jnp.int32), G)
+
+        f = cfg.fine
+        r2 = FineMatcher(
+            descriptor_dim=f.descriptor_dim, title_dim=f.title_dim,
+            gnn_layers=f.gnn_layers, num_heads=f.num_heads,
+            sinkhorn_iterations=f.sinkhorn_iterations,
+            score_temperature=f.score_temperature,
+            expand_iters=f.expand_iters,
+            expand_lower_bound=f.expand_lower_bound,
+            fused_attention=cfg.use_fused_attention,
+            pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            dtype=dtype, name="fine")(
+            flat(left_crops), flat(right_crops), flat(r1["desc0"]),
+            flat(r1["alive"]), gh, gw, self.outdoor, self.merge_new,
+            patch_pair=patch_pair, num_pairs=B)
+
+        # ---- per-pair compaction to the static level-3 capacity 16*G ----
+        K3 = 16 * G
+        cell_alive = r2["cell_alive"].reshape(B, G * 144)
+        order = jax.vmap(lambda fa: jnp.argsort(
+            jnp.logical_not(fa).astype(jnp.int32), stable=True)[:K3])(
+            cell_alive)                                        # (B, K3)
+        pid_local = (order // 144).astype(jnp.int32)
+        point_pid = (pid_local
+                     + (jnp.arange(B, dtype=jnp.int32) * G)[:, None]
+                     ).reshape(B * K3)                         # global
+        point_cell = (order % 144).astype(jnp.int32).reshape(B * K3)
+        point_tgt = jnp.take_along_axis(
+            r2["pts"].reshape(B, G * 144, 2), order[..., None],
+            axis=1).reshape(B * K3, 2)
+        point_valid = jnp.take_along_axis(cell_alive, order,
+                                          axis=1).reshape(B * K3)
+        point_pair = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K3)
+
+        rcfg = cfg.refine
+        r3 = SubpixelRefiner(
+            descriptor_dim=rcfg.descriptor_dim, gnn_layers=rcfg.gnn_layers,
+            num_heads=rcfg.num_heads,
+            sinkhorn_iterations=rcfg.sinkhorn_iterations,
+            score_temperature=rcfg.score_temperature,
+            window=rcfg.window, padded_map=rcfg.padded_map,
+            neighborhood=rcfg.neighborhood,
+            fused_attention=cfg.use_fused_attention,
+            pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            use_running_average=not cfg.refine_batch_stats,
+            dtype=dtype, name="refine")(
+            flat(left_crops), flat(right_crops), r2["tokens0"],
+            r2["tokens1"], point_pid, point_cell, point_tgt, point_valid,
+            flat(r1["alive"]), patch_pair=patch_pair,
+            point_pair=point_pair, num_pairs=B)
+
+        if self.outdoor:
+            valid16 = r3["valid16"] & point_valid[:, None]
+        else:
+            keep = jnp.zeros((16,), bool).at[jnp.asarray(_INDOOR_SUBPOINTS)
+                                             ].set(True)
+            valid16 = keep[None, :] & point_valid[:, None]
+
+        refined = jnp.stack([r3["mkpts1"][..., 1], r3["mkpts1"][..., 0]],
+                            axis=-1) / 2.0                     # (B*K3, 16, 2)
+
+        def scatter_back(o, r, v):
+            fp = jnp.zeros((G * 144, 16, 2), r.dtype).at[o].set(r)
+            fv = jnp.zeros((G * 144, 16), bool).at[o].set(v)
+            return fp, fv
+
+        full_pts, full_valid = jax.vmap(scatter_back)(
+            order, refined.reshape(B, K3, 16, 2),
+            valid16.reshape(B, K3, 16))
+
+        full_pts = full_pts.reshape(B, G, 12, 12, 4, 4, 2).transpose(
+            0, 1, 2, 4, 3, 5, 6).reshape(B, G, 48, 48, 2)
+        full_valid = full_valid.reshape(B, G, 12, 12, 4, 4).transpose(
+            0, 1, 2, 4, 3, 5).reshape(B, G, 48, 48)
+
+        matches_l, matches_r, valid = jax.vmap(
+            lambda ce, cs, fp, fv: compose_matches(ce, cs, fp, fv, gh, gw,
+                                                   patch=32))(
+            center, crop_scale, full_pts, full_valid)
+
+        return {
+            "matches_l": matches_l,
+            "matches_r": matches_r,
+            "valid": valid,
+            "num_coarse": jnp.sum(
+                r1["alive"].reshape(B, G).astype(jnp.int32), axis=1),
+            "num_fine": jnp.sum(
+                r2["cell_alive"].reshape(B, G, 144).astype(jnp.int32),
+                axis=(1, 2)),
+            "num_final": jnp.sum(valid.astype(jnp.int32), axis=1),
         }

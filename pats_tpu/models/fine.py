@@ -59,7 +59,8 @@ class FineMatcher(nn.Module):
     @nn.compact
     def __call__(self, left_crops: jnp.ndarray, right_crops: jnp.ndarray,
                  coarse_desc: jnp.ndarray, patch_alive: jnp.ndarray,
-                 gh: int, gw: int, outdoor: bool, merge_new: bool):
+                 gh: int, gw: int, outdoor: bool, merge_new: bool,
+                 patch_pair=None, num_pairs: int = 1):
         """Args:
           left_crops/right_crops: (G, 96, 96, 3) raw-valued crops.
           coarse_desc: (G, 448) level-1 projected left descriptors.
@@ -67,6 +68,9 @@ class FineMatcher(nn.Module):
           gh, gw: coarse grid dims (G = gh * gw).
           outdoor: dustbin bonus log2 (outdoor) vs log3 (indoor).
           merge_new: merge algorithm selector.
+          patch_pair/num_pairs: optional int32 (G,) pair ids for the FLAT
+            pair-batched path (G = num_pairs * per-pair grid): the merge
+            runs per pair and batch-statistics BNs group per pair.
 
         Returns dict:
           cell_alive: (G, 144) surviving cells after merge
@@ -80,9 +84,11 @@ class FineMatcher(nn.Module):
         crops = jnp.concatenate([left_crops, right_crops], axis=0)
         crops = imagenet_normalize(crops)
         mask2 = jnp.concatenate([patch_alive, patch_alive], axis=0)
+        pair2 = None if patch_pair is None else jnp.concatenate(
+            [patch_pair, patch_pair], axis=0)
         trunk = FineTrunk(use_running_average=self.use_running_average,
                           dtype=self.dtype, name="trunk")
-        x0, x1, x2 = trunk(crops, mask2)      # (2G,48,48,64),(2G,24,24,64),(2G,12,12,128)
+        x0, x1, x2 = trunk(crops, mask2, pair2, num_pairs)      # (2G,48,48,64),(2G,24,24,64),(2G,12,12,128)
 
         d0 = _grid_gather(avg_pool_2x2_pad(x0), 4)          # (2G, 144, 64)
         d1 = _grid_gather(avg_pool_2x2_pad(x1), 2)          # (2G, 144, 64)
@@ -94,11 +100,13 @@ class FineMatcher(nn.Module):
         title = MLPStack((256, 128, 64, 32, 16, self.title_dim),
                          use_running_average=self.use_running_average,
                          dtype=self.dtype, name="compress_1")(
-            coarse_desc[:, None, :], patch_alive)           # (G, 1, 8)
+            coarse_desc[:, None, :], patch_alive, (), patch_pair,
+            num_pairs)                                      # (G, 1, 8)
         rubbish = MLPStack((448, 448, D),
                            use_running_average=self.use_running_average,
                            dtype=self.dtype, name="compress_2")(
-            coarse_desc[:, None, :], patch_alive)           # (G, 1, 264)
+            coarse_desc[:, None, :], patch_alive, (), patch_pair,
+            num_pairs)                                      # (G, 1, 264)
 
         title2 = jnp.broadcast_to(title[:, :, :], (G, 144, self.title_dim))
         tokens = jnp.concatenate(
@@ -110,7 +118,8 @@ class FineMatcher(nn.Module):
                              fused=self.fused_attention,
                              use_running_average=self.use_running_average,
                              dtype=self.dtype, name="gnn")
-        desc0, desc1 = gnn(tokens[:G], tokens[G:], patch_alive)
+        desc0, desc1 = gnn(tokens[:G], tokens[G:], patch_alive,
+                           patch_pair, num_pairs)
 
         final = nn.Dense(D, dtype=self.dtype, name="final_proj")
         mdesc0, mdesc1 = final(desc0), final(desc1)          # (G, 145, D)
@@ -140,9 +149,22 @@ class FineMatcher(nn.Module):
                                self.expand_iters, self.expand_lower_bound,
                                use_pallas=self.pallas_sinkhorn)
 
-        cell_alive = merge_cells(res.whole_cost, patch_alive,
-                                 jnp.logical_not(res.if_nomatching),
-                                 gh, gw, new=merge_new)
+        if num_pairs > 1:
+            # per-pair cross-patch merge: the grid structure is per pair
+            import jax
+
+            gp = G // num_pairs
+            cell_alive = jax.vmap(
+                lambda wc, pa, cm: merge_cells(wc, pa, cm, gh, gw,
+                                               new=merge_new))(
+                res.whole_cost.reshape(num_pairs, gp, 144),
+                patch_alive.reshape(num_pairs, gp),
+                jnp.logical_not(res.if_nomatching).reshape(
+                    num_pairs, gp, 144)).reshape(G, 144)
+        else:
+            cell_alive = merge_cells(res.whole_cost, patch_alive,
+                                     jnp.logical_not(res.if_nomatching),
+                                     gh, gw, new=merge_new)
 
         return {
             "cell_alive": cell_alive,

@@ -50,7 +50,8 @@ class MLPStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
-                 group_axes: tuple = ()):
+                 group_axes: tuple = (),
+                 groups: Optional[jnp.ndarray] = None, num_groups: int = 1):
         n = len(self.features)
         for i, feat in enumerate(self.features):
             x = nn.Dense(feat, dtype=self.dtype, name=f"dense_{i}")(x)
@@ -58,7 +59,8 @@ class MLPStack(nn.Module):
                 if self.use_bn:
                     x = MaskedBatchNorm(
                         use_running_average=self.use_running_average,
-                        name=f"bn_{i}")(x, mask, group_axes)
+                        name=f"bn_{i}")(x, mask, group_axes, groups,
+                                        num_groups)
                 x = nn.relu(x)
         return x
 
@@ -214,7 +216,8 @@ class AttentionalPropagation(nn.Module):
 
     @nn.compact
     def __call__(self, x, source, mask: Optional[jnp.ndarray] = None,
-                 group_axes: tuple = ()):
+                 group_axes: tuple = (),
+                 groups: Optional[jnp.ndarray] = None, num_groups: int = 1):
         # the BN mask is per token-set (e.g. (2, G)); when it matches the
         # attention's leading dims exactly it doubles as the dead-item skip
         item_alive = None
@@ -227,7 +230,8 @@ class AttentionalPropagation(nn.Module):
         y = jnp.concatenate([x, message], axis=-1)
         return MLPStack((self.d_model * 2, self.d_model),
                         use_running_average=self.use_running_average,
-                        dtype=self.dtype, name="mlp")(y, mask, group_axes)
+                        dtype=self.dtype, name="mlp")(y, mask, group_axes,
+                                                      groups, num_groups)
 
 
 class AttentionalGNN(nn.Module):
@@ -248,7 +252,8 @@ class AttentionalGNN(nn.Module):
 
     @nn.compact
     def __call__(self, desc0, desc1,
-                 mask: Optional[jnp.ndarray] = None
+                 mask: Optional[jnp.ndarray] = None,
+                 groups: Optional[jnp.ndarray] = None, num_groups: int = 1
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         assert self.num_layers % 2 == 0
         x = jnp.stack([desc0, desc1], axis=0)           # (2, ..., N, C)
@@ -262,5 +267,6 @@ class AttentionalGNN(nn.Module):
                 use_running_average=self.use_running_average,
                 dtype=self.dtype, name=f"layer_{i}")
             src = jnp.flip(x, axis=0) if is_cross else x
-            x = x + layer(x, src, mask2, group_axes=(0,))
+            x = x + layer(x, src, mask2, group_axes=(0,),
+                          groups=groups, num_groups=num_groups)
         return x[0], x[1]

@@ -22,6 +22,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over all non-channel axes with optional per-sample mask.
 
@@ -38,10 +45,21 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
-                 group_axes: tuple = ()):
+                 group_axes: tuple = (),
+                 groups: Optional[jnp.ndarray] = None,
+                 num_groups: int = 1):
         """group_axes: leading axes whose indices keep SEPARATE statistics
         (e.g. the image axis when both images of a pair are stacked but the
-        reference computes per-image BN statistics)."""
+        reference computes per-image BN statistics).
+
+        groups/num_groups: per-ITEM statistics groups over the axis right
+        after ``group_axes`` — the flat-batch equivalent of vmapping the
+        module over image pairs.  ``groups`` is an int32 (N,) pair id for
+        x of shape group_axes + (N, ...spatial, C); statistics are
+        computed per (group_axes index, pair) via one-hot segment
+        reductions, keeping every tensor FLAT (rank <= 4) so XLA never
+        materializes the rank-5 layout copies the vmapped form causes.
+        """
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -51,6 +69,33 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones((c,)))
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif groups is not None:
+            assert group_axes == tuple(range(len(group_axes)))
+            nlead = len(group_axes)
+            lead = x.shape[:nlead]
+            N = x.shape[nlead]
+            spatial = x.shape[nlead + 1:-1]
+            xf = x.astype(jnp.float32).reshape(-1, N,
+                                               int(np_prod(spatial)), c)
+            if mask is None:
+                w = jnp.ones(xf.shape[:3], jnp.float32)
+            else:
+                m = jnp.asarray(mask, jnp.float32)
+                m = m.reshape(m.shape + (1,) * (x.ndim - 1 - m.ndim))
+                w = jnp.broadcast_to(m, x.shape[:-1]).reshape(xf.shape[:3])
+            onehot = jax.nn.one_hot(groups, num_groups,
+                                    dtype=jnp.float32)          # (N, P)
+            s1 = jnp.einsum("lnsc,lns,np->lpc", xf, w, onehot)
+            s2 = jnp.einsum("lnsc,lnsc,lns,np->lpc", xf, xf, w, onehot)
+            cnt = jnp.einsum("lns,np->lp", w, onehot)
+            denom = jnp.maximum(cnt, 1.0)[..., None]
+            mean_g = s1 / denom                                  # (L, P, C)
+            var_g = s2 / denom - jnp.square(mean_g)
+            mean = jnp.einsum("np,lpc->lnc", onehot, mean_g)
+            var = jnp.einsum("np,lpc->lnc", onehot, var_g)
+            shape = lead + (N,) + (1,) * len(spatial) + (c,)
+            mean = mean.reshape(shape)
+            var = var.reshape(shape)
         else:
             axes = tuple(i for i in range(x.ndim - 1) if i not in group_axes)
             xf = x.astype(jnp.float32)

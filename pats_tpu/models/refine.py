@@ -48,7 +48,8 @@ class FPN82(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, skips, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, skips, mask: Optional[jnp.ndarray] = None,
+                 groups: Optional[jnp.ndarray] = None, num_groups: int = 1):
         ura = self.use_running_average
         x0, x1, x2 = skips            # (N,48,48,64), (N,24,24,64), (N,12,12,128)
 
@@ -63,7 +64,8 @@ class FPN82(nn.Module):
         def block(x, f_mid, f_out, prefix, mask):
             y = conv3(f_mid, f"{prefix}_conv1")(x)
             y = MaskedBatchNorm(use_running_average=ura,
-                                name=f"{prefix}_bn")(y, mask)
+                                name=f"{prefix}_bn")(y, mask, (), groups,
+                                                     num_groups)
             y = nn.leaky_relu(y, 0.01)
             return conv3(f_out, f"{prefix}_conv2")(y)
 
@@ -100,7 +102,8 @@ class SubpixelRefiner(nn.Module):
     @nn.compact
     def __call__(self, left_crops, right_crops, tokens0, tokens1,
                  point_pid, point_cell, point_tgt, point_valid,
-                 patch_alive):
+                 patch_alive, patch_pair=None, point_pair=None,
+                 num_pairs: int = 1):
         """Args:
           left_crops/right_crops: (G, 96, 96, 3) raw crops.
           tokens0/tokens1: (G, 145, 264) level-2 projected GNN tokens.
@@ -109,6 +112,11 @@ class SubpixelRefiner(nn.Module):
           point_tgt:  (K, 2) level-2 position (row, col) in 12-grid units.
           point_valid: (K,) slot validity.
           patch_alive: (G,) coarse alive mask (for trunk/FPN batch stats).
+          patch_pair/point_pair: optional int32 pair ids per patch/point
+            for the FLAT pair-batched path (PATSCascadeBatched) — in
+            batch-statistics mode every BatchNorm then keeps per-pair
+            statistics (grouped MaskedBatchNorm), exactly matching the
+            per-pair vmapped semantics, without rank-5 tensors.
 
         Returns dict:
           mkpts1: (K, 16, 2) refined right positions (x, y) crop pixels.
@@ -124,22 +132,25 @@ class SubpixelRefiner(nn.Module):
         # the reference feeds RAW (un-normalized) crops to the level-3 trunk
         # (third_layer.py:113-115 has no Normalize)
         mask2 = jnp.concatenate([patch_alive, patch_alive], axis=0)
+        pair2 = None if patch_pair is None else jnp.concatenate(
+            [patch_pair, patch_pair], axis=0)
         trunk = FineTrunk(use_running_average=self.use_running_average,
                           dtype=self.dtype, name="trunk")
-        skips = trunk(crops, mask2)
+        skips = trunk(crops, mask2, pair2, num_pairs)
 
         tokens = jnp.concatenate([tokens0, tokens1], axis=0)       # (2G,145,264)
         grid = tokens[:, :-1, :].reshape(2 * G, 12, 12, 264)
         fpn = FPN82(use_running_average=self.use_running_average,
                     dtype=self.dtype, name="backbone")
-        feat = fpn(grid, skips, mask2)                             # (2G,52,52,128)
+        feat = fpn(grid, skips, mask2, pair2, num_pairs)           # (2G,52,52,128)
         feat_f0, feat_f1 = feat[:G], feat[G:]
 
         # per-cell rubbish features from the LEFT coarse tokens
         rubbish = MLPStack((264, 264, D),
                            use_running_average=self.use_running_average,
                            dtype=self.dtype, name="compress")(
-            tokens0[:, :-1, :], patch_alive)                        # (G,144,128)
+            tokens0[:, :-1, :], patch_alive, (), patch_pair,
+            num_pairs)                                              # (G,144,128)
 
         # source/target window centers in crop pixels, quantized to 4
         cell_c = (point_cell % 12).astype(jnp.float32)
@@ -193,7 +204,7 @@ class SubpixelRefiner(nn.Module):
                              fused=self.fused_attention,
                              use_running_average=self.use_running_average,
                              dtype=self.dtype, name="gnn")
-        t0, t1 = gnn(t0, t1, point_valid)
+        t0, t1 = gnn(t0, t1, point_valid, point_pair, num_pairs)
 
         smap = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
                        name="scale_proj")(

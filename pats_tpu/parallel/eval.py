@@ -17,7 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pats_tpu.config import PATSConfig
-from pats_tpu.models.cascade import PATSCascade
+from pats_tpu.models.cascade import PATSCascadeBatched
 
 
 class ShardedMatcher:
@@ -31,9 +31,12 @@ class ShardedMatcher:
         data = mesh.shape[config.runtime.data_axis]
         self.batch_size = batch_size or data
         assert self.batch_size % data == 0, (self.batch_size, data)
-        self.model = PATSCascade(config=config.model,
-                                 outdoor=config.eval.if_outdoor,
-                                 merge_new=config.eval.merge_new)
+        # natively pair-batched cascade: levels 2/3 run flat over B*G
+        # crops (vs jax.vmap(PATSCascade), whose rank-5 activations cost
+        # ~15-20% of the step in conv-layout copies)
+        self.model = PATSCascadeBatched(config=config.model,
+                                        outdoor=config.eval.if_outdoor,
+                                        merge_new=config.eval.merge_new)
         self._fns: Dict[Tuple[int, int], object] = {}
         self.batch_sharding = NamedSharding(mesh, P(config.runtime.data_axis))
         self.replicated = NamedSharding(mesh, P())
@@ -41,13 +44,10 @@ class ShardedMatcher:
     def _fn(self, shape):
         if shape not in self._fns:
             def fwd(variables, left, right):
-                def one(a, b):
-                    out, _ = self.model.apply(variables, a, b,
-                                              mutable=["batch_stats"])
-                    return (out["matches_l"], out["matches_r"], out["valid"],
-                            out["num_coarse"], out["num_fine"])
-
-                return jax.vmap(one)(left, right)
+                out, _ = self.model.apply(variables, left, right,
+                                          mutable=["batch_stats"])
+                return (out["matches_l"], out["matches_r"], out["valid"],
+                        out["num_coarse"], out["num_fine"])
 
             self._fns[shape] = jax.jit(
                 fwd,

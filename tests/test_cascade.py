@@ -63,3 +63,39 @@ def test_cascade_jit_compiles(rng):
     out2 = fwd(variables, left, right)
     np.testing.assert_array_equal(np.asarray(out["valid"]),
                                   np.asarray(out2["valid"]))
+
+
+def test_batched_cascade_matches_vmapped_single(rng):
+    """PATSCascadeBatched (flat levels 2/3, grouped batch-stats BNs) ==
+    per-pair PATSCascade, including the refine_batch_stats mode whose
+    statistics are per pair."""
+    from pats_tpu.models.cascade import PATSCascadeBatched
+
+    H, W = 96, 128
+    B = 3
+    cfg = tiny_config(refine_batch_stats=True)
+    single = PATSCascade(config=cfg, outdoor=True, merge_new=True)
+    batched = PATSCascadeBatched(config=cfg, outdoor=True, merge_new=True)
+
+    left = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
+    variables = single.init(jax.random.PRNGKey(0), left[0], right[0])
+
+    # identical parameter trees: batched init must produce the same shapes
+    vb = batched.init(jax.random.PRNGKey(0), left[:1], right[:1])
+    assert (jax.tree.map(jnp.shape, vb["params"])
+            == jax.tree.map(jnp.shape, variables["params"]))
+
+    outs = [single.apply(variables, left[i], right[i],
+                         mutable=["batch_stats"])[0] for i in range(B)]
+    outb, _ = batched.apply(variables, left, right,
+                            mutable=["batch_stats"])
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(outb["valid"][i]),
+                                      np.asarray(outs[i]["valid"]))
+        v = np.asarray(outs[i]["valid"])
+        np.testing.assert_allclose(np.asarray(outb["matches_r"][i])[v],
+                                   np.asarray(outs[i]["matches_r"])[v],
+                                   atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(outb["num_fine"][i]),
+                                      np.asarray(outs[i]["num_fine"]))
