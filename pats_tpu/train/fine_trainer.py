@@ -28,7 +28,8 @@ from pats_tpu.models.fine import FineMatcher
 from pats_tpu.ops.expand import ExpandResult
 from pats_tpu.ops.extract import extract_patch_neighborhoods
 from pats_tpu.ops.resize import crop_resize_batch
-from pats_tpu.train.losses import LevelLabels, transport_level_loss
+from pats_tpu.train.losses import (LevelLabels, dustbin_weight_schedule,
+                                   transport_level_loss)
 from pats_tpu.train.trainer import TrainState
 
 _MARGIN = 128
@@ -118,8 +119,8 @@ class FineTrainer:
         return ((left_crops, right_crops), out["desc0"], out["alive"],
                 crop_scale, center)
 
-    def _pair_loss(self, params, batch_stats, coarse_variables, left, right,
-                   labels8):
+    def _pair_loss(self, params, batch_stats, coarse_variables, dustbin_w,
+                   left, right, labels8):
         """labels8: (H8*W8, 3) raw depth labels at 8-px granularity."""
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
         crops, desc, alive, crop_scale, center = self._front(
@@ -153,20 +154,24 @@ class FineTrainer:
             bound=jnp.zeros(out["trust"].shape + (4,), jnp.int32),
             if_nomatching=jnp.logical_not(out["cell_matched"]))
         labels = LevelLabels(gt_pos, gt_class.astype(jnp.int32))
-        return transport_level_loss(out["plan"], res, labels, 12, 12)
+        return transport_level_loss(out["plan"], res, labels, 12, 12,
+                                    dustbin_mismatch_weight=dustbin_w)
 
-    def _loss_fn(self, params, batch_stats, coarse_variables, batch):
+    def _loss_fn(self, params, batch_stats, coarse_variables, dustbin_w,
+                 batch):
         losses = jax.vmap(
-            self._pair_loss, in_axes=(None, None, None, 0, 0, 0))(
-            params, batch_stats, coarse_variables,
+            self._pair_loss, in_axes=(None, None, None, None, 0, 0, 0))(
+            params, batch_stats, coarse_variables, dustbin_w,
             batch["left"], batch["right"], batch["labels8"])
         return jnp.mean(losses)
 
     @partial(jax.jit, static_argnums=0)
     def _step(self, state: TrainState, coarse_variables, batch
               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        dustbin_w = dustbin_weight_schedule(state.step)
         loss, grads = jax.value_and_grad(self._loss_fn)(
-            state.params, state.batch_stats, coarse_variables, batch)
+            state.params, state.batch_stats, coarse_variables, dustbin_w,
+            batch)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)

@@ -77,7 +77,8 @@ def position_loss(res: ExpandResult, plan: jnp.ndarray, labels: LevelLabels,
 
 
 def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels,
-                   anti_collapse: bool = True) -> jnp.ndarray:
+                   anti_collapse: bool = True,
+                   mismatch_weight=5.0) -> jnp.ndarray:
     """Push negative patches into the dustbin, positives out of it.
 
     The reference's mismatching term is the raw dustbin LOG-score
@@ -87,6 +88,12 @@ def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels,
     STATUS.md).  ``anti_collapse`` swaps it for -log(1 - p_dustbin),
     which grows without bound as the dustbin saturates — same gradient
     direction, no attractor.
+
+    ``mismatch_weight`` scales the anti-collapse term.  It only needs to
+    be large while collapse is a live attractor (early training); late in
+    training it competes with the position term for gradient budget — the
+    round-2 curve showed precision dipping mid-run while the loss kept
+    falling.  Trainers anneal it with :func:`dustbin_weight_schedule`.
     """
     dustbin = plan[:, :-1, -1]           # log dustbin score per source
     negative = labels.gt_class < 0
@@ -102,7 +109,19 @@ def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels,
         pen = dustbin
     mismatching = jnp.sum(
         jnp.where(positive & res.if_nomatching, pen, 0.0)) / n_pos
-    return nomatching + 5.0 * mismatching
+    return nomatching + mismatch_weight * mismatching
+
+
+def dustbin_weight_schedule(step, hold_steps: int = 150,
+                            decay_steps: int = 250,
+                            peak: float = 5.0, final: float = 1.0):
+    """Anneal the mismatching weight: ``peak`` while collapse is a danger,
+    linearly down to ``final`` once the model has escaped it.
+
+    step may be a traced int array (the trainer passes TrainState.step).
+    """
+    t = jnp.clip((step - hold_steps) / max(decay_steps, 1), 0.0, 1.0)
+    return peak + (final - peak) * t
 
 
 def trust_loss(res: ExpandResult, labels: LevelLabels) -> jnp.ndarray:
@@ -141,9 +160,11 @@ def sampson_epipolar(F: jnp.ndarray, src_pts: jnp.ndarray,
 
 def transport_level_loss(plan: jnp.ndarray, res: ExpandResult,
                          labels: LevelLabels, height: int, width: int,
-                         weight_position: float = 5.0) -> jnp.ndarray:
+                         weight_position: float = 5.0,
+                         dustbin_mismatch_weight=5.0) -> jnp.ndarray:
     """Combined per-level loss ('distance' recipe, utils.py:1562-1591)."""
     return (matching_nll(plan, labels, height, width)
             + position_loss(res, plan, labels, height, width, weight_position)
-            + dustbin_losses(plan, res, labels)
+            + dustbin_losses(plan, res, labels,
+                             mismatch_weight=dustbin_mismatch_weight)
             + trust_loss(res, labels))

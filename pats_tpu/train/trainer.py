@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pats_tpu.config import PATSConfig
 from pats_tpu.models.coarse import CoarseMatcher
 from pats_tpu.ops.expand import ExpandResult
-from pats_tpu.train.losses import LevelLabels, transport_level_loss
+from pats_tpu.train.losses import (LevelLabels, dustbin_weight_schedule,
+                                   transport_level_loss)
 from pats_tpu.train.optim import make_optimizer
 
 
@@ -73,8 +74,8 @@ class CoarseTrainer:
                            jnp.zeros((), jnp.int32))
         return jax.device_put(state, self.replicated)
 
-    def _pair_loss(self, params, batch_stats, rng, left, right, gt_pos,
-                   gt_class):
+    def _pair_loss(self, params, batch_stats, rng, dustbin_w, left, right,
+                   gt_pos, gt_class):
         out, _ = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, left, right,
             mutable=["batch_stats"], rngs={"dropout": rng})
@@ -87,21 +88,25 @@ class CoarseTrainer:
             if_nomatching=jnp.logical_not(out["alive"])[None])
         labels = LevelLabels(gt_pos[None], gt_class[None])
         h, w = out["grid"]
-        return transport_level_loss(out["plan"][None], res, labels, h, w)
+        return transport_level_loss(out["plan"][None], res, labels, h, w,
+                                    dustbin_mismatch_weight=dustbin_w)
 
-    def _loss_fn(self, params, batch_stats, rng, batch):
+    def _loss_fn(self, params, batch_stats, rng, dustbin_w, batch):
         rngs = jax.random.split(rng, batch["left"].shape[0])
         losses = jax.vmap(
-            self._pair_loss, in_axes=(None, None, 0, 0, 0, 0, 0))(
-            params, batch_stats, rngs, batch["left"], batch["right"],
-            batch["gt_pos"], batch["gt_class"])
+            self._pair_loss, in_axes=(None, None, 0, None, 0, 0, 0, 0))(
+            params, batch_stats, rngs, dustbin_w, batch["left"],
+            batch["right"], batch["gt_pos"], batch["gt_class"])
         return jnp.mean(losses)
 
     @partial(jax.jit, static_argnums=0)
     def _step(self, state: TrainState, rng, batch
               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # anneal the anti-collapse dustbin term once collapse danger passes
+        # (round-2 curve: precision dipped mid-run while loss kept falling)
+        dustbin_w = dustbin_weight_schedule(state.step)
         loss, grads = jax.value_and_grad(self._loss_fn)(
-            state.params, state.batch_stats, rng, batch)
+            state.params, state.batch_stats, rng, dustbin_w, batch)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)

@@ -40,3 +40,17 @@ def test_no_clip_passthrough():
     params = {"w": jnp.zeros(2)}
     upd, _ = tx.update({"w": jnp.ones(2)}, tx.init(params), params)
     assert float(optax.global_norm(upd)) > 0
+
+
+def test_dustbin_weight_schedule():
+    import jax.numpy as jnp
+
+    from pats_tpu.train.losses import dustbin_weight_schedule as sched
+
+    # peak during the anti-collapse hold, linear decay, final plateau
+    assert float(sched(jnp.int32(0))) == 5.0
+    assert float(sched(jnp.int32(150))) == 5.0
+    mid = float(sched(jnp.int32(275)))
+    assert 2.9 < mid < 3.1
+    assert float(sched(jnp.int32(400))) == 1.0
+    assert float(sched(jnp.int32(10_000))) == 1.0
