@@ -40,6 +40,9 @@ class Keyframe:
 class KeyframeGraph:
     K: np.ndarray                  # (3, 3) shared intrinsics
     min_inlier_ratio: float = 0.6  # below this vs last KF -> new keyframe
+    # bootstrap: the 2nd keyframe needs real parallax (median match flow in
+    # px) or its triangulation is degenerate (monocular-init criterion)
+    min_bootstrap_flow_px: float = 12.0
     keyframes: List[Keyframe] = field(default_factory=list)
     landmarks: List[np.ndarray] = field(default_factory=list)   # (3,) world
     obs_cam: List[int] = field(default_factory=list)
@@ -71,6 +74,13 @@ class KeyframeGraph:
         if last.image is None:
             raise ValueError("keyframes need stored images for tracking")
         ml, mr = matcher.match(last.image, image)
+        if len(self.keyframes) == 1:
+            # bootstrapping: wait for parallax before spawning keyframe #2
+            # (a zero-baseline pair triangulates to garbage)
+            flow = float(np.median(np.linalg.norm(ml - mr, axis=1))) \
+                if len(ml) else 0.0
+            if flow < self.min_bootstrap_flow_px:
+                return True, None
         pose = two_view_pose(ml, mr, self.K, self.K, threshold_px)
         if pose is None:
             return False, None

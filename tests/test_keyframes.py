@@ -29,7 +29,7 @@ class _SyntheticMatcher:
         return uv[:, :2] / uv[:, 2:3]
 
     def match(self, img0, img1):
-        i0, i1 = int(img0[0, 0, 0]), int(img1[0, 0, 0])
+        i0, i1 = float(img0[0, 0, 0]), float(img1[0, 0, 0])
         p0 = self.project(i0)[:, ::-1]   # (row, col)
         p1 = self.project(i1)[:, ::-1]
         return p0, p1
@@ -57,6 +57,21 @@ def test_keyframe_graph_builds_and_optimizes(rng):
     # even though the absolute scale is unobservable
     dx = np.diff(traj[:, 0])
     assert (dx < 0).all()
+
+
+def test_bootstrap_requires_parallax(rng):
+    """With one keyframe, a near-zero-baseline frame must NOT spawn
+    keyframe #2 (degenerate triangulation); a real-baseline frame must."""
+    m = _SyntheticMatcher(rng)
+    g = KeyframeGraph(K=m.K, min_inlier_ratio=2.0)
+    g.add_first(_frame(0))
+    tracked, kf = g.track(m, _frame(0.001))   # ~0.1 px median flow
+    assert tracked and kf is None
+    assert len(g.keyframes) == 1
+    tracked, kf = g.track(m, _frame(1))       # ~50 px flow: init the map
+    assert tracked and kf is not None
+    assert len(g.keyframes) == 2
+    assert len(g.landmarks) > 100
 
 
 def test_windowed_local_ba(rng):
