@@ -113,7 +113,11 @@ class CoarseTrainer:
         new_state = TrainState(params, state.batch_stats, opt_state,
                                state.step + 1)
         gnorm = optax.global_norm(grads)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        # grad_norm is the RAW norm (can be huge at random init); the
+        # optimizer clips to clip_norm first, so also report what is
+        # actually applied
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "update_norm": optax.global_norm(updates)}
 
     def step(self, state: TrainState, rng, batch):
         """batch: dict with left/right (B, H, W, 3) float images and
