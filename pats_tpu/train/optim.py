@@ -27,6 +27,9 @@ def make_optimizer(learning_rate: float = 1e-4,
     disables clipping.
     """
     if total_steps is not None:
+        # optax requires decay_steps > warmup_steps; clamp so tiny smoke
+        # runs (total < warmup) don't crash
+        warmup_steps = min(warmup_steps, max(total_steps - 1, 0))
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=0.0 if warmup_steps else learning_rate,
             peak_value=learning_rate,

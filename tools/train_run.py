@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--eval-pairs", type=int, default=8)
     ap.add_argument("--gnn-layers", type=int, default=18)
     ap.add_argument("--out", default="/tmp/train_curve.jsonl")
+    ap.add_argument("--save", default=None,
+                    help="orbax checkpoint dir for the final params")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -144,6 +146,12 @@ def main():
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
     fh.close()
+    if args.save:
+        from pats_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save, {"params": state.params,
+                                    "batch_stats": state.batch_stats})
+        print(f"saved final params to {args.save}")
 
 
 if __name__ == "__main__":
