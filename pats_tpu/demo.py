@@ -90,7 +90,15 @@ def main(argv=None):
     parser.add_argument("--torch-checkpoints", nargs=3, default=None)
     parser.add_argument("--long-side", type=int, default=1600,
                         help="frame resize long side (reference demo: 1600)")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=("cpu", "tpu", "axon"),
+                        help="force the JAX platform (see evaluate.py)")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import cv2
 

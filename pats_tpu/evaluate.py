@@ -279,6 +279,12 @@ def main(argv=None):
                         choices=["default", "float32", "highest"],
                         help="TPU f32 matmuls default to bf16 multiplies; "
                              "checkpoint-parity eval should keep float32")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=("cpu", "tpu", "axon"),
+                        help="force the JAX platform (the env default can "
+                             "be pinned by the runtime before env vars are "
+                             "read; this flag always wins).  Use cpu to "
+                             "debug when the accelerator is unreachable")
     parser.add_argument("--max-restarts", type=int, default=0,
                         help="elastic recovery: restart a crashed eval loop "
                              "this many times (requires --resume so restarts "
@@ -308,6 +314,8 @@ def main(argv=None):
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)

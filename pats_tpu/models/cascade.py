@@ -203,11 +203,26 @@ class PATSCascadeBatched(nn.Module):
     The parameter tree is IDENTICAL to PATSCascade (same submodule names,
     broadcast vmap axes), so converted reference checkpoints and trained
     variables load into either.
+
+    ``patch_sharding`` (a ``jax.sharding.NamedSharding`` over the flat
+    crop axis) turns the flat level-2/3 batch into a PATCH-SHARDED batch:
+    the B*G crops are spread over the mesh and XLA/GSPMD inserts the
+    collectives the cross-patch steps need (the per-pair merge, the
+    level-3 compaction and the grouped batch statistics).  This is the
+    device-parallel replacement for the reference's sequential
+    ``split_patches`` work cycles (utils/utils.py:152-181, SURVEY par.2.7):
+    one large pair's patch work scales out over chips instead of looping.
     """
 
     config: ModelConfig
     outdoor: bool = True
     merge_new: bool = True
+    patch_sharding: Optional[jax.sharding.NamedSharding] = None
+
+    def _shard(self, x):
+        if self.patch_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.patch_sharding)
 
     @nn.compact
     def __call__(self, left: jnp.ndarray, right: jnp.ndarray):
@@ -251,9 +266,10 @@ class PATSCascadeBatched(nn.Module):
             lambda im: extract_patch_neighborhoods(im, patch=32))(left)
 
         def flat(a):
-            return a.reshape((BG,) + a.shape[2:])
+            return self._shard(a.reshape((BG,) + a.shape[2:]))
 
-        patch_pair = jnp.repeat(jnp.arange(B, dtype=jnp.int32), G)
+        patch_pair = self._shard(
+            jnp.repeat(jnp.arange(B, dtype=jnp.int32), G))
 
         f = cfg.fine
         r2 = FineMatcher(
@@ -277,16 +293,18 @@ class PATSCascadeBatched(nn.Module):
             jnp.logical_not(fa).astype(jnp.int32), stable=True)[:K3])(
             cell_alive)                                        # (B, K3)
         pid_local = (order // 144).astype(jnp.int32)
-        point_pid = (pid_local
-                     + (jnp.arange(B, dtype=jnp.int32) * G)[:, None]
-                     ).reshape(B * K3)                         # global
-        point_cell = (order % 144).astype(jnp.int32).reshape(B * K3)
-        point_tgt = jnp.take_along_axis(
+        point_pid = self._shard(
+            (pid_local + (jnp.arange(B, dtype=jnp.int32) * G)[:, None]
+             ).reshape(B * K3))                                # global
+        point_cell = self._shard(
+            (order % 144).astype(jnp.int32).reshape(B * K3))
+        point_tgt = self._shard(jnp.take_along_axis(
             r2["pts"].reshape(B, G * 144, 2), order[..., None],
-            axis=1).reshape(B * K3, 2)
-        point_valid = jnp.take_along_axis(cell_alive, order,
-                                          axis=1).reshape(B * K3)
-        point_pair = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K3)
+            axis=1).reshape(B * K3, 2))
+        point_valid = self._shard(jnp.take_along_axis(
+            cell_alive, order, axis=1).reshape(B * K3))
+        point_pair = self._shard(
+            jnp.repeat(jnp.arange(B, dtype=jnp.int32), K3))
 
         rcfg = cfg.refine
         r3 = SubpixelRefiner(

@@ -72,7 +72,10 @@ def epipolar_errors(kp1: np.ndarray, kp2: np.ndarray,
                          np.ones((len(kp2), 1))], axis=1)
     line = p1 @ F_gt.T
     num = np.einsum("ij,ij->i", p2, line)
-    return num / np.sqrt(line[:, 0] ** 2 + line[:, 1] ** 2)
+    # a degenerate epipolar line (keypoint at the epipole) has zero
+    # image-plane norm; report inf distance instead of a 0/0 warning
+    norm = np.sqrt(line[:, 0] ** 2 + line[:, 1] ** 2)
+    return np.where(norm > 0, num / np.where(norm > 0, norm, 1.0), np.inf)
 
 
 def compute_pose_error(kp1: np.ndarray, kp2: np.ndarray,
