@@ -101,6 +101,7 @@ class PATSCascade(nn.Module):
             expand_lower_bound=c.expand_lower_bound,
             fused_attention=cfg.use_fused_attention,
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            sinkhorn_tol=cfg.sinkhorn_tol,
             dtype=dtype, name="coarse")(left, right)
 
         boxes, crop_scale, center = _subdivide(
@@ -120,6 +121,7 @@ class PATSCascade(nn.Module):
             expand_lower_bound=f.expand_lower_bound,
             fused_attention=cfg.use_fused_attention,
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            sinkhorn_tol=cfg.sinkhorn_tol,
             dtype=dtype, name="fine")(
             left_crops, right_crops, r1["desc0"], r1["alive"],
             gh, gw, self.outdoor, self.merge_new)
@@ -144,6 +146,7 @@ class PATSCascade(nn.Module):
             neighborhood=rcfg.neighborhood,
             fused_attention=cfg.use_fused_attention,
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            sinkhorn_tol=cfg.sinkhorn_tol,
             use_running_average=not cfg.refine_batch_stats,
             dtype=dtype, name="refine")(
             left_crops, right_crops, r2["tokens0"], r2["tokens1"],
@@ -252,6 +255,7 @@ class PATSCascadeBatched(nn.Module):
             expand_lower_bound=c.expand_lower_bound,
             fused_attention=cfg.use_fused_attention,
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            sinkhorn_tol=cfg.sinkhorn_tol,
             dtype=dtype, name="coarse")(left, right)
 
         boxes, crop_scale, center = jax.vmap(
@@ -281,6 +285,7 @@ class PATSCascadeBatched(nn.Module):
             expand_lower_bound=f.expand_lower_bound,
             fused_attention=cfg.use_fused_attention,
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            sinkhorn_tol=cfg.sinkhorn_tol,
             dtype=dtype, name="fine")(
             flat(left_crops), flat(right_crops), flat(r1["desc0"]),
             flat(r1["alive"]), gh, gw, self.outdoor, self.merge_new,
@@ -316,6 +321,7 @@ class PATSCascadeBatched(nn.Module):
             neighborhood=rcfg.neighborhood,
             fused_attention=cfg.use_fused_attention,
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
+            sinkhorn_tol=cfg.sinkhorn_tol,
             use_running_average=not cfg.refine_batch_stats,
             dtype=dtype, name="refine")(
             flat(left_crops), flat(right_crops), r2["tokens0"],

@@ -58,6 +58,7 @@ class CoarseMatcher(nn.Module):
     expand_lower_bound: float = 1e-5
     fused_attention: bool = False
     pallas_sinkhorn: bool = False
+    sinkhorn_tol: float = 0.0
     use_running_average: bool = True
     deterministic: bool = True     # trunk dropout off (inference)
     dtype: Optional[jnp.dtype] = None
@@ -134,7 +135,8 @@ class CoarseMatcher(nn.Module):
             (self.score_temperature * scores)[None].astype(jnp.float32),
             jnp.abs(bin_score), scales_head[None],
             self.sinkhorn_iterations,
-            use_pallas=self.pallas_sinkhorn)                       # (1,G+1,G+1)
+            use_pallas=self.pallas_sinkhorn,
+            tol=self.sinkhorn_tol)                       # (1,G+1,G+1)
 
         # per-target matched-mass scales (first_layer.py:117-118)
         plan_exp = jnp.exp(plan)

@@ -53,6 +53,7 @@ class FineMatcher(nn.Module):
     expand_lower_bound: float = 1e-3
     fused_attention: bool = False
     pallas_sinkhorn: bool = False
+    sinkhorn_tol: float = 0.0
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -139,7 +140,8 @@ class FineMatcher(nn.Module):
         plan = ot_inline_dustbin(
             (self.score_temperature * scores).astype(jnp.float32),
             (scale_x * scale_y), self.sinkhorn_iterations,
-            use_pallas=self.pallas_sinkhorn)                 # (G, 145, 145)
+            use_pallas=self.pallas_sinkhorn,
+            tol=self.sinkhorn_tol)                 # (G, 145, 145)
 
         bonus = math.log(2.0 if outdoor else 3.0)
         plan = plan.at[:, :, -1].add(bonus)

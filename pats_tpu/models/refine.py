@@ -96,6 +96,7 @@ class SubpixelRefiner(nn.Module):
     neighborhood: int = 5          # T
     fused_attention: bool = False
     pallas_sinkhorn: bool = False
+    sinkhorn_tol: float = 0.0
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -220,7 +221,7 @@ class SubpixelRefiner(nn.Module):
             (self.score_temperature * scores).astype(jnp.float32),
             scale, self.sinkhorn_iterations,
             use_pallas=self.pallas_sinkhorn,
-            valid=point_valid)                                      # (K,65,65)
+            valid=point_valid, tol=self.sinkhorn_tol)                                      # (K,65,65)
         p = jnp.exp(plan)
 
         mkpts1, valid16 = self._compute_result(p, scale_xy, tgt)

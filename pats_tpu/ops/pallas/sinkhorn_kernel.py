@@ -27,7 +27,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(z_ref, mu_ref, nu_ref, out_ref, *, iters: int):
+def _kernel(z_ref, mu_ref, nu_ref, out_ref, *, iters: int,
+            tol: float = 0.0):
     Z = z_ref[:]                      # (TB, m, n)
     mu = mu_ref[:]                    # (TB, m)
     nu = nu_ref[:]                    # (TB, n)
@@ -37,20 +38,35 @@ def _kernel(z_ref, mu_ref, nu_ref, out_ref, *, iters: int):
         return jnp.log(jnp.sum(jnp.exp(t - jnp.expand_dims(mx, axis)),
                                axis=axis)) + mx
 
-    def body(_, uv):
-        u, v = uv
+    def step(u, v):
         u = mu - lse(Z + v[:, None, :], 2)
         v = nu - lse(Z + u[:, :, None], 1)
         return u, v
 
     u0 = jnp.zeros_like(mu)
     v0 = jnp.zeros_like(nu)
-    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+    if tol > 0.0:
+        # early exit: the whole tile is VMEM-resident, so the extra sup-norm
+        # reduction per iteration is free next to the two logsumexps
+        def cond(state):
+            k, du, _, _ = state
+            return jnp.logical_and(k < iters, du > tol)
+
+        def wbody(state):
+            k, _, u, v = state
+            un, vn = step(u, v)
+            return k + 1, jnp.max(jnp.abs(un - u)), un, vn
+
+        _, _, u, v = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), jnp.float32(1e30), u0, v0))
+    else:
+        u, v = jax.lax.fori_loop(0, iters, lambda _, uv: step(*uv),
+                                 (u0, v0))
     out_ref[:] = Z + u[:, :, None] + v[:, None, :]
 
 
 def _masked_kernel(valid_ref, z_ref, mu_ref, nu_ref, out_ref, *,
-                   iters: int):
+                   iters: int, tol: float = 0.0):
     """Same iteration, but a batch block whose slots are ALL invalid skips
     the loop entirely (callers with compacted alive-first batches get the
     trailing dead blocks nearly free)."""
@@ -58,7 +74,7 @@ def _masked_kernel(valid_ref, z_ref, mu_ref, nu_ref, out_ref, *,
 
     @pl.when(any_valid)
     def _():
-        _kernel(z_ref, mu_ref, nu_ref, out_ref, iters=iters)
+        _kernel(z_ref, mu_ref, nu_ref, out_ref, iters=iters, tol=tol)
 
     @pl.when(jnp.logical_not(any_valid))
     def _():
@@ -66,12 +82,12 @@ def _masked_kernel(valid_ref, z_ref, mu_ref, nu_ref, out_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "block_b", "interpret"))
+                   static_argnames=("iters", "block_b", "interpret", "tol"))
 def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
                        log_nu: jnp.ndarray, iters: int,
                        block_b: int = 0,
                        interpret: bool = False,
-                       valid=None) -> jnp.ndarray:
+                       valid=None, tol: float = 0.0) -> jnp.ndarray:
     """Drop-in replacement for ops.sinkhorn.log_sinkhorn on (B, m, n).
 
     Pads m/n to lane-friendly sizes internally; returns the unpadded plan.
@@ -103,7 +119,7 @@ def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     if valid is None:
         out = pl.pallas_call(
-            functools.partial(_kernel, iters=iters),
+            functools.partial(_kernel, iters=iters, tol=tol),
             grid=grid,
             in_specs=[z_spec, mu_spec, nu_spec],
             out_specs=z_spec,
@@ -116,7 +132,7 @@ def fused_log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray,
         v_spec = pl.BlockSpec((block_b, 128), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_masked_kernel, iters=iters),
+            functools.partial(_masked_kernel, iters=iters, tol=tol),
             grid=grid,
             in_specs=[v_spec, z_spec, mu_spec, nu_spec],
             out_specs=z_spec,

@@ -32,34 +32,53 @@ def _fits_vmem(m: int, n: int) -> bool:
 
 
 def log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray, log_nu: jnp.ndarray,
-                 iters: int) -> jnp.ndarray:
+                 iters: int, tol: float = 0.0) -> jnp.ndarray:
     """Sinkhorn normalization in log space.
 
     Args:
       Z:      (..., m, n) log-cost/coupling matrix.
       log_mu: (..., m) target log row-marginals.
       log_nu: (..., n) target log column-marginals.
-      iters:  number of u/v update pairs (static).
+      iters:  number of u/v update pairs (static upper bound).
+      tol:    if > 0, stop once the row potential moves < tol between
+              iterations (sup-norm).  The plans converge well before the
+              reference's fixed 100 iterations (f32-exact by ~50 even for
+              sharp trained-like scores); the default 0 keeps the exact
+              reference iteration count.
 
     Returns:
       (..., m, n) log transport plan Z + u[...,None] + v[...,None,:].
     """
 
-    def body(_, uv):
-        u, v = uv
+    def step(u, v):
         u = log_mu - jax.nn.logsumexp(Z + v[..., None, :], axis=-1)
         v = log_nu - jax.nn.logsumexp(Z + u[..., :, None], axis=-2)
-        return (u, v)
+        return u, v
 
     u0 = jnp.zeros_like(log_mu)
     v0 = jnp.zeros_like(log_nu)
-    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+    if tol > 0.0:
+        def cond(state):
+            k, du, _, _ = state
+            return jnp.logical_and(k < iters, du > tol)
+
+        def wbody(state):
+            k, _, u, v = state
+            un, vn = step(u, v)
+            return k + 1, jnp.max(jnp.abs(un - u)), un, vn
+
+        _, _, u, v = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), jnp.float32(1e30), u0, v0))
+    else:
+        u, v = jax.lax.fori_loop(0, iters,
+                                 lambda _, uv: step(*uv), (u0, v0))
     return Z + u[..., :, None] + v[..., None, :]
 
 
 def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
                        ns: jnp.ndarray, iters: int,
-                       use_pallas: bool = False) -> jnp.ndarray:
+                       use_pallas: bool = False,
+                       tol: float = 0.0) -> jnp.ndarray:
     """Level-1 optimal transport with learned dustbin and per-column scales.
 
     Semantics of reference modules.py:145-162: a scalar ``alpha`` is appended
@@ -101,15 +120,15 @@ def ot_learned_dustbin(scores: jnp.ndarray, alpha: jnp.ndarray,
     if use_pallas and _fits_vmem(m + 1, n + 1):
         from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
 
-        Z = fused_log_sinkhorn(couplings, log_mu, log_nu, iters)
+        Z = fused_log_sinkhorn(couplings, log_mu, log_nu, iters, tol=tol)
     else:
-        Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
+        Z = log_sinkhorn(couplings, log_mu, log_nu, iters, tol=tol)
     return Z - norm[:, None, None]
 
 
 def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
                       iters: int, use_pallas: bool = False,
-                      valid=None) -> jnp.ndarray:
+                      valid=None, tol: float = 0.0) -> jnp.ndarray:
     """Level-2/3 optimal transport where the dustbin is the last token.
 
     Semantics of reference modules.py:165-182: ``scores`` is (b, m, n) with
@@ -141,7 +160,8 @@ def ot_inline_dustbin(scores: jnp.ndarray, ns: jnp.ndarray,
     if use_pallas and _fits_vmem(m, n):
         from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
 
-        Z = fused_log_sinkhorn(scores, log_mu, log_nu, iters, valid=valid)
+        Z = fused_log_sinkhorn(scores, log_mu, log_nu, iters, valid=valid,
+                               tol=tol)
     else:
-        Z = log_sinkhorn(scores, log_mu, log_nu, iters)
+        Z = log_sinkhorn(scores, log_mu, log_nu, iters, tol=tol)
     return Z - norm[:, None, None]

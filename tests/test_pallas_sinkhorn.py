@@ -42,3 +42,22 @@ def test_fused_masked_skip_matches(rng):
                                         interpret=True, valid=valid))
     np.testing.assert_allclose(got[:10], want[:10], rtol=1e-4, atol=1e-4)
     assert np.isfinite(got).all()
+
+
+def test_fused_early_exit_matches(rng):
+    """The kernel's tol early-exit equals the full fixed-count plan."""
+    from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
+    from pats_tpu.ops.sinkhorn import log_sinkhorn
+
+    b, m, n = 6, 65, 65
+    base = rng.normal(0, 0.5, size=(b, m, n))
+    for i in range(b):
+        base[i, np.arange(m), rng.permutation(n)] += 8.0
+    Z = jnp.asarray(base, jnp.float32)
+    mu = jnp.asarray(np.log(rng.uniform(0.2, 1.0, size=(b, m))), jnp.float32)
+    nu = jnp.asarray(np.log(rng.uniform(0.2, 1.0, size=(b, n))), jnp.float32)
+
+    want = np.exp(np.asarray(log_sinkhorn(Z, mu, nu, 100)))
+    got = np.exp(np.asarray(fused_log_sinkhorn(Z, mu, nu, 100, tol=1e-4,
+                                               interpret=True)))
+    np.testing.assert_allclose(got, want, atol=2e-3)

@@ -88,3 +88,25 @@ def test_ot_learned_dustbin_oracle(rng):
                              (np.log(ns.sum(1)) + norm)[:, None]], 1)
     want = np_sinkhorn(couplings, log_mu, log_nu, 30) - norm[:, None, None]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_early_exit_matches_full(rng):
+    """tol>0 stops early but the plan equals the full 100-iteration one
+    (convergence is f32-exact well before 100 even for sharp scores)."""
+    b, m, n = 4, 33, 33
+    base = rng.normal(0, 0.5, size=(b, m, n))
+    for i in range(b):                      # sharp trained-like winners
+        base[i, np.arange(m), rng.permutation(n)] += 8.0
+    scores = jnp.asarray(base, jnp.float32)
+    ns = jnp.asarray(rng.uniform(0.1, 4.0, size=(b, n - 1)), jnp.float32)
+
+    full = np.exp(np.asarray(ot_inline_dustbin(scores, ns, 100)))
+    fast = np.exp(np.asarray(ot_inline_dustbin(scores, ns, 100, tol=1e-4)))
+    np.testing.assert_allclose(fast, full, atol=2e-3)
+
+    alpha = 0.7
+    full = np.exp(np.asarray(ot_learned_dustbin(scores, alpha, ns2 :=
+        jnp.asarray(rng.uniform(0.1, 4.0, size=(b, n)), jnp.float32), 100)))
+    fast = np.exp(np.asarray(ot_learned_dustbin(scores, alpha, ns2, 100,
+                                                tol=1e-4)))
+    np.testing.assert_allclose(fast, full, atol=2e-3)
