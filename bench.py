@@ -44,9 +44,13 @@ def main():
     from pats_tpu.models.cascade import PATSCascade, PATSCascadeBatched
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    # PATS_BENCH_SINKHORN_TOL=1e-4 A/Bs the Sinkhorn early exit (plans are
+    # f32-exact well before the reference's fixed 100 iterations)
+    tol = float(os.environ.get("PATS_BENCH_SINKHORN_TOL", "0"))
     mc = dataclasses.replace(ModelConfig(), use_bfloat16=True,
                              use_pallas_sinkhorn=on_tpu,
-                             use_fused_attention=on_tpu)
+                             use_fused_attention=on_tpu,
+                             sinkhorn_tol=tol)
     model = PATSCascade(config=mc, outdoor=True, merge_new=True)
     bmodel = PATSCascadeBatched(config=mc, outdoor=True, merge_new=True)
 

@@ -42,10 +42,15 @@ def build_dataset(cfg: PATSConfig):
     raise ValueError(f"unknown dataset {name!r}")
 
 
-def _bucket_hw(h: int, w: int, quantum: int = 64):
+def _bucket_hw(h: int, w: int, quantum: int = 32):
     """Round a padded pair shape up to a /quantum bucket so variable-size
     protocols (YFCC's per-pair common-max pad, data/yfcc.py:47-48) compile
-    only a handful of distinct cascade shapes instead of one per pair."""
+    only a handful of distinct cascade shapes instead of one per pair.
+
+    The default 32 is the model's alignment requirement, so fixed-shape
+    protocols (640x480 ScanNet/MegaDepth) run at EXACTLY the reference
+    resolution with zero pad; pass --bucket-quantum 64 to trade a thin
+    pad band for fewer compiles on variable-size protocols like YFCC."""
     q = quantum
     return (-(-h // q) * q, -(-w // q) * q)
 
@@ -56,10 +61,12 @@ def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
-def _crop_pad_matches(ml, mr, h, w):
-    """Drop matches that landed in the bucket's zero-pad margin."""
-    keep = ((ml[:, 0] < h) & (ml[:, 1] < w)
-            & (mr[:, 0] < h) & (mr[:, 1] < w))
+def _crop_pad_matches(ml, mr, hw0, hw1):
+    """Drop matches that landed in the bucket's zero-pad margin, bounding
+    each side by ITS OWN image's delivered extent (the two images of a
+    pair can differ in true size before bucket padding)."""
+    keep = ((ml[:, 0] < hw0[0]) & (ml[:, 1] < hw0[1])
+            & (mr[:, 0] < hw1[0]) & (mr[:, 1] < hw1[1]))
     return ml[keep], mr[keep]
 
 
@@ -73,7 +80,7 @@ _BF16_CELL_BUDGET = 2048
 
 def evaluate(matcher, dataset, scale_factor: float, threshold: float,
              progress: bool = True, resume_path: str = None,
-             batch_size: int = 4, bucket_quantum: int = 64):
+             batch_size: int = 4, bucket_quantum: int = 32):
     """Evaluate pose AUC over a pair dataset.
 
     Pairs are grouped into /``bucket_quantum`` resolution buckets and
@@ -149,11 +156,18 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
         return max(1, min(cap, budget // cells))
 
     def finalize(pairs, stats, chunk, bucket, t0):
-        """Host-side per-pair pose math + recording for one chunk."""
+        """Host-side per-pair pose math + recording for one chunk.
+
+        ``t_match_s`` is dispatch-to-collect WALL time per pair: in the
+        pipelined path it includes the next chunk's host padding/dispatch
+        (which overlaps the device run) and, for a bucket's first chunk,
+        compile time — an end-to-end latency figure, not pure device
+        time (the tunnel's broken block_until_ready rules out per-chunk
+        device timing; see tools/micro_profile.py for that)."""
         dt = (time.time() - t0) / len(chunk)
         for (i, d), (ml, mr), st in zip(chunk, pairs, stats):
-            ml, mr = _crop_pad_matches(ml, mr, d["image0"].shape[0],
-                                       d["image0"].shape[1])
+            ml, mr = _crop_pad_matches(ml, mr, d["image0"].shape[:2],
+                                       d["image1"].shape[:2])
             r, t = compute_pose_error(ml, mr, d["K0"], d["K1"],
                                       d["T0"], d["T1"],
                                       scale_factor, threshold)
@@ -183,39 +197,33 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
 
         fault_point("eval_flush")      # chaos-test site (parallel/fault.py)
         h, w = bucket
-        if runner is not None and hasattr(runner, "dispatch_batch"):
-            per = bucket_batch(bucket)
-            for s in range(0, len(items), per):
-                chunk = items[s:s + per]
-                t0 = time.time()
-                handle = runner.dispatch_batch(
-                    [_pad_to(d["image0"], h, w) for _, d in chunk],
-                    [_pad_to(d["image1"], h, w) for _, d in chunk],
-                    batch_size=per)
+        if runner is None:             # batch_size=1 legacy loop
+            t0 = time.time()
+            pairs = [matcher.match(_pad_to(d["image0"], h, w),
+                                   _pad_to(d["image1"], h, w))
+                     for _, d in items]
+            stats = [{"n_matches": len(ml)} for ml, _ in pairs]
+            finalize(pairs, stats, items, bucket, t0)
+            return
+        per = bucket_batch(bucket)
+        pipelined = hasattr(runner, "dispatch_batch")
+        for s in range(0, len(items), per):
+            chunk = items[s:s + per]
+            ims0 = [_pad_to(d["image0"], h, w) for _, d in chunk]
+            ims1 = [_pad_to(d["image1"], h, w) for _, d in chunk]
+            t0 = time.time()
+            if pipelined:
+                handle = runner.dispatch_batch(ims0, ims1, batch_size=per)
                 prev, in_flight[:] = list(in_flight), [(handle, chunk,
                                                         bucket, t0)]
                 for p in prev:         # overlaps this chunk's device run
                     pairs = runner.collect(p[0])
                     stats = getattr(runner, "last_stats", [{}] * len(p[1]))
                     finalize(pairs, stats, p[1], p[2], p[3])
-            return
-        t0 = time.time()
-        if runner is not None:         # runner without async dispatch
-            pairs, stats = [], []
-            per = bucket_batch(bucket)
-            for s in range(0, len(items), per):
-                chunk = items[s:s + per]
-                pairs += runner.match_batch(
-                    [_pad_to(d["image0"], h, w) for _, d in chunk],
-                    [_pad_to(d["image1"], h, w) for _, d in chunk],
-                    batch_size=per)
-                stats += getattr(runner, "last_stats", [{}] * len(chunk))
-        else:
-            pairs = [matcher.match(_pad_to(d["image0"], h, w),
-                                   _pad_to(d["image1"], h, w))
-                     for _, d in items]
-            stats = [{"n_matches": len(ml)} for ml, _ in pairs]
-        finalize(pairs, stats, items, bucket, t0)
+            else:                      # sync runner (match_batch only)
+                pairs = runner.match_batch(ims0, ims1, batch_size=per)
+                stats = getattr(runner, "last_stats", [{}] * len(chunk))
+                finalize(pairs, stats, chunk, bucket, t0)
 
     cap = runner.batch_size if runner is not None else 1
     buffers = {}
@@ -224,8 +232,10 @@ def evaluate(matcher, dataset, scale_factor: float, threshold: float,
             results[i] = done[i]
             n_done += 1
             continue
-        bucket = _bucket_hw(data["image0"].shape[0], data["image0"].shape[1],
-                            bucket_quantum)
+        bucket = _bucket_hw(max(data["image0"].shape[0],
+                                data["image1"].shape[0]),
+                            max(data["image0"].shape[1],
+                                data["image1"].shape[1]), bucket_quantum)
         buffers.setdefault(bucket, []).append((i, data))
         if len(buffers[bucket]) >= cap:
             flush(bucket, buffers.pop(bucket))
@@ -266,8 +276,11 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=4,
                         help="pairs matched per compiled step (1 = legacy "
                              "pair-at-a-time loop)")
-    parser.add_argument("--bucket-quantum", type=int, default=64,
-                        help="resolution bucket granularity in px")
+    parser.add_argument("--bucket-quantum", type=int, default=32,
+                        help="resolution bucket granularity in px (32 = "
+                             "exact reference shapes; 64 trades a thin pad "
+                             "band for fewer compiles on variable-size "
+                             "protocols like YFCC)")
     parser.add_argument("--pallas-sinkhorn", action="store_true",
                         help="fused f32 Sinkhorn kernel (TPU; same "
                              "numerics class as the XLA loop)")

@@ -172,6 +172,10 @@ def _attention_core(nheads: int, scale: float, block_b, interpret: bool):
     def core(q, k, v, alive):
         B, N, D = q.shape
         dh = D // nheads
+        # the head-select masks map channel c to head c // dh, so a D
+        # that does not split exactly would silently zero the trailing
+        # D % nheads channels — guard unconditionally
+        assert D == nheads * dh, (D, nheads)
         sub = 16 if q.dtype == jnp.bfloat16 else 8
         Np = _round_up(N, sub)
         Dp = _round_up(D, 128)
@@ -185,8 +189,7 @@ def _attention_core(nheads: int, scale: float, block_b, interpret: bool):
             k = jnp.pad(k, ((0, 0), (0, 0), (0, Dp - D)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, Dp - D)))
             # padded channels belong to no head (chan // dh >= nheads
-            # there, which requires the real channels to split exactly)
-            assert D == nheads * dh
+            # there, guaranteed by the exact-split assert above)
 
         alive_i = jnp.pad(alive.astype(jnp.int32), (0, Bp - B))
         alive_i = alive_i.reshape(Bp // bb, bb).max(axis=1)

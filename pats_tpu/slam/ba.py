@@ -84,10 +84,14 @@ def build_point_tracks(pt_idx, valid, num_points: int,
     """Host-side point-major observation table for the sparse Schur path.
 
     Returns (P, max_track) int32 of observation indices, -1 padded.
-    Observations beyond ``max_track`` per point are dropped from the
-    CROSS blocks only (they still contribute to U/V/b exactly), which
-    keeps shapes static; max_track should exceed the realistic track
-    length (a landmark is seen by few keyframes).
+    Observations beyond ``max_track`` per point still contribute to
+    U/V/b exactly, but are absent from every track-table consumer: the
+    Schur cross terms AND the W^T dx_c term of the point
+    back-substitution, so the overflow point's update is a block-Jacobi
+    approximation (its V/b_p see all observations, its camera coupling
+    only the first max_track).  Shapes stay static; size max_track above
+    the realistic track length (a landmark is seen by few keyframes) so
+    the approximation is never exercised.
     """
     import numpy as np
 

@@ -74,11 +74,15 @@ class KeyframeGraph:
         if last.image is None:
             raise ValueError("keyframes need stored images for tracking")
         ml, mr = matcher.match(last.image, image)
+        if len(ml) < 15:
+            # matching failed outright (scene cut, blur): report tracking
+            # lost — even during bootstrap, where a zero-flow reading
+            # must not masquerade as "waiting for parallax"
+            return False, None
         if len(self.keyframes) == 1:
             # bootstrapping: wait for parallax before spawning keyframe #2
             # (a zero-baseline pair triangulates to garbage)
-            flow = float(np.median(np.linalg.norm(ml - mr, axis=1))) \
-                if len(ml) else 0.0
+            flow = float(np.median(np.linalg.norm(ml - mr, axis=1)))
             if flow < self.min_bootstrap_flow_px:
                 return True, None
         pose = two_view_pose(ml, mr, self.K, self.K, threshold_px)

@@ -88,18 +88,20 @@ def close_loops(graph, matcher, min_gap: int = 5,
     cands = find_loop_candidates(np.stack(descs), min_gap, min_similarity)
     accepted = []
     edges = list(graph.odo_edges)
-    # the two-view translation is unit-norm; rescale to the graph's
-    # odometry scale convention (1.0 for the monocular unit-baseline
-    # chain, so this is the identity there)
-    scale = float(np.mean([np.linalg.norm(e[3]) for e in edges])) \
-        if edges else 1.0
     for i, j, _sim in cands:
         got = verify_loop(matcher, kfs[i].image, kfs[j].image, graph.K,
                           threshold_px, min_inliers)
         if got is None:
             continue
         R_ij, t_ij, _n = got
-        edges.append((i, j, R_ij, t_ij * scale, loop_weight))
+        # the two-view translation is DIRECTION-only (monocular, unit
+        # norm); its magnitude is unobservable, so scale it to the
+        # current estimate's i->j chord length — the edge then
+        # constrains rotation + bearing without asserting a fictitious
+        # metric gap (an always-1.0 norm would stretch closed loops)
+        chord = float(np.linalg.norm(
+            kfs[j].t - (kfs[j].R @ kfs[i].R.T) @ kfs[i].t))
+        edges.append((i, j, R_ij, t_ij * chord, loop_weight))
         accepted.append((i, j))
     if not accepted:
         return []
@@ -107,6 +109,30 @@ def close_loops(graph, matcher, min_gap: int = 5,
                           np.stack([k.t for k in kfs]), edges)
     R, t, _hist = optimize_pose_graph(pg, iters=pgo_iters)
     R, t = np.asarray(R), np.asarray(t)
+    old = [(kf.R, kf.t) for kf in kfs]
     for idx, kf in enumerate(kfs):
         kf.R, kf.t = R[idx], t[idx]
+    _correct_landmarks(graph, old)
     return accepted
+
+
+def _correct_landmarks(graph, old_poses) -> None:
+    """Move each landmark with its anchor keyframe's PGO correction so the
+    map stays consistent with the corrected trajectory (a follow-up BA
+    would otherwise fight huge residuals against the drifted map).  The
+    anchor is the landmark's first observing keyframe; its camera-frame
+    coordinates are held fixed: X' = R_new^T (R_old X + t_old - t_new)."""
+    landmarks = getattr(graph, "landmarks", None)
+    if not landmarks:
+        return
+    anchor = {}
+    for cam, pid in zip(graph.obs_cam, graph.obs_pt):
+        anchor.setdefault(pid, cam)
+    kfs = graph.keyframes
+    for pid, X in enumerate(landmarks):
+        a = anchor.get(pid)
+        if a is None:
+            continue
+        R_old, t_old = old_poses[a]
+        kf = kfs[a]
+        landmarks[pid] = kf.R.T @ (R_old @ X + t_old - kf.t)

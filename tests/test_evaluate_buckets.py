@@ -15,19 +15,27 @@ from pats_tpu import evaluate as ev
 
 
 def test_bucket_hw():
-    assert ev._bucket_hw(480, 640) == (512, 640)
-    assert ev._bucket_hw(512, 640) == (512, 640)
-    assert ev._bucket_hw(481, 641) == (512, 704)
+    # default quantum 32 keeps the fixed reference protocols exact
+    assert ev._bucket_hw(480, 640) == (480, 640)
+    assert ev._bucket_hw(481, 641) == (512, 672)
+    assert ev._bucket_hw(480, 640, quantum=64) == (512, 640)
+    assert ev._bucket_hw(512, 640, quantum=64) == (512, 640)
+    assert ev._bucket_hw(481, 641, quantum=64) == (512, 704)
     assert ev._bucket_hw(96, 64, quantum=32) == (96, 64)
 
 
 def test_crop_pad_matches():
     ml = np.array([[10, 10], [100, 10], [10, 100]], np.float32)
     mr = np.array([[10, 10], [10, 10], [10, 10]], np.float32)
-    kl, kr = ev._crop_pad_matches(ml, mr, 64, 64)
+    kl, kr = ev._crop_pad_matches(ml, mr, (64, 64), (64, 64))
     assert kl.shape == (1, 2) and kr.shape == (1, 2)
-    kl, kr = ev._crop_pad_matches(mr, ml, 64, 64)   # right-side pad too
+    kl, kr = ev._crop_pad_matches(mr, ml, (64, 64), (64, 64))
     assert kl.shape == (1, 2)
+    # each side bounded by ITS OWN image extent
+    ml2 = np.array([[10, 10], [10, 10]], np.float32)
+    mr2 = np.array([[10, 10], [50, 10]], np.float32)
+    kl, kr = ev._crop_pad_matches(ml2, mr2, (64, 64), (32, 64))
+    assert kl.shape == (1, 2) and float(kr[0, 0]) == 10.0
 
 
 class _StubMatcher:

@@ -61,3 +61,21 @@ def test_fused_early_exit_matches(rng):
     got = np.exp(np.asarray(fused_log_sinkhorn(Z, mu, nu, 100, tol=1e-4,
                                                interpret=True)))
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_fused_masked_early_exit(rng):
+    """tol early-exit composes with the dead-block skip: valid rows equal
+    the dense full-count plan, dead blocks stay finite."""
+    from pats_tpu.ops.pallas.sinkhorn_kernel import fused_log_sinkhorn
+    from pats_tpu.ops.sinkhorn import log_sinkhorn
+
+    b, m = 24, 33
+    Z = jnp.asarray(rng.normal(size=(b, m, m)) * 0.1, jnp.float32)
+    mu = jnp.zeros((b, m), jnp.float32)
+    valid = jnp.arange(b) < 10
+    want = np.exp(np.asarray(log_sinkhorn(Z, mu, mu, 100)))
+    got = np.exp(np.asarray(fused_log_sinkhorn(Z, mu, mu, 100, block_b=8,
+                                               interpret=True, valid=valid,
+                                               tol=1e-4)))
+    np.testing.assert_allclose(got[:10], want[:10], atol=2e-3)
+    assert np.isfinite(got).all()

@@ -172,3 +172,52 @@ def test_close_loops_end_to_end(rng):
     t = np.stack([k.t for k in g.keyframes])
     err = _center_err(R, t, cg)
     assert err < drift
+
+
+@pytest.mark.slow
+def test_close_loops_unit_norm_odometry(rng):
+    """Production KeyframeGraph convention: odo_edges carry UNIT-norm
+    translations.  The loop edge's translation must be scaled to the
+    estimated i->j chord (here ~the 12-gon diameter, 3.9 units), not to
+    the odometry step norm (1.0) — the old mean-of-norms rescale asserted
+    a 1.0-length chord and stretched closed loops (round-2 review)."""
+    from pats_tpu.slam.keyframes import Keyframe, KeyframeGraph
+
+    n = 12
+    Rg, tg, cg = _circle_poses(n)
+    s = np.linalg.norm(cg[1] - cg[0])     # metric odometry step
+    K = np.array([[200.0, 0, 64], [0, 200.0, 64], [0, 0, 1]])
+    oracle = _OracleMatcher(Rg, tg, K)
+
+    # chain unit-norm noisy odometry (the monocular scale convention)
+    edges = []
+    R_init, t_init = [Rg[0]], [tg[0] / s]
+    for k in range(n - 1):
+        R_ij, t_ij = _rel(Rg[k], tg[k], Rg[k + 1], tg[k + 1])
+        dR = np.asarray(exp_so3(rng.normal(size=3) * 0.03))
+        R_m = dR @ R_ij
+        t_m = t_ij + rng.normal(size=3) * 0.03 * s
+        t_m = t_m / np.linalg.norm(t_m)   # unit norm
+        edges.append((k, k + 1, R_m, t_m, 1.0))
+        R_init.append(R_m @ R_init[-1])
+        t_init.append(R_m @ t_init[-1] + t_m)
+
+    g = KeyframeGraph(K=K)
+    for i in range(n):
+        img = np.full((8, 8, 3), float(i), np.float32)
+        g.keyframes.append(Keyframe(i, R_init[i], t_init[i], img,
+                                    oracle.embed(img)))
+    g.odo_edges = edges
+    # retrieval: make the diametral pair (0, 6) look alike; its chord in
+    # the unit-odometry frame is ~2R/s = 3.86, nowhere near 1.0
+    g.keyframes[6].descriptor = g.keyframes[0].descriptor
+
+    cg_unit = cg / s
+    drift = _center_err(np.stack(R_init), np.stack(t_init), cg_unit)
+    accepted = close_loops(g, oracle, min_gap=5, min_similarity=0.99,
+                           threshold_px=2.0, min_inliers=30)
+    assert accepted == [(0, 6)]
+    R = np.stack([k.R for k in g.keyframes])
+    t = np.stack([k.t for k in g.keyframes])
+    err = _center_err(R, t, cg_unit)
+    assert err < drift, (err, drift)
