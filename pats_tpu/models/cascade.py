@@ -70,6 +70,67 @@ def _subdivide(pts, x_scale, y_scale, H, W, patch=32):
     return boxes, crop_scale, center
 
 
+def prepare_crops(left, right, pts, x_scale, y_scale):
+    """Subdivision for one pair: level-1 outputs -> level-2/3 crop inputs.
+
+    Returns (left_crops (G,96,96,3), right_crops (G,96,96,3),
+    crop_scale (G,), center (G,2))."""
+    H, W = left.shape[:2]
+    boxes, crop_scale, center = _subdivide(pts, x_scale, y_scale, H, W)
+    right_pad = jnp.pad(right, ((_MARGIN, _MARGIN), (_MARGIN, _MARGIN),
+                                (0, 0)))
+    right_crops = crop_resize_batch(right_pad, boxes, out_size=96)
+    left_crops = extract_patch_neighborhoods(left, patch=32)
+    return left_crops, right_crops, crop_scale, center
+
+
+def compact_cells(cell_alive, pts, G):
+    """Alive-first compaction of the (G, 144) fine cells to the static
+    level-3 capacity 16*G.  Returns (order, point_pid, point_cell,
+    point_tgt, point_valid)."""
+    K3 = 16 * G
+    flat_alive = cell_alive.reshape(G * 144)
+    order = jnp.argsort(jnp.logical_not(flat_alive).astype(jnp.int32),
+                        stable=True)[:K3]
+    point_pid = (order // 144).astype(jnp.int32)
+    point_cell = (order % 144).astype(jnp.int32)
+    point_tgt = pts.reshape(G * 144, 2)[order]
+    point_valid = flat_alive[order]
+    return order, point_pid, point_cell, point_tgt, point_valid
+
+
+def finish_matches(mkpts1, valid16_raw, point_valid, order, center,
+                   crop_scale, gh, gw, outdoor: bool):
+    """Level-3 outputs -> final (matches_l, matches_r, valid) for one pair
+    (scatter back to the (G, 144, 16) grid, 48x48 reorder, composition)."""
+    G = gh * gw
+    if outdoor:
+        valid16 = valid16_raw & point_valid[:, None]
+    else:
+        keep = jnp.zeros((16,), bool).at[jnp.asarray(_INDOOR_SUBPOINTS)
+                                         ].set(True)
+        valid16 = keep[None, :] & point_valid[:, None]
+
+    # refined right positions (x, y crop px) -> (row, col) in 2-px units
+    refined = jnp.stack([mkpts1[..., 1], mkpts1[..., 0]],
+                        axis=-1) / 2.0                         # (K3, 16, 2)
+
+    full_pts = jnp.zeros((G * 144, 16, 2), refined.dtype)
+    full_pts = full_pts.at[order].set(refined)
+    full_valid = jnp.zeros((G * 144, 16), bool)
+    full_valid = full_valid.at[order].set(valid16)
+
+    # (G, 144, 16, ...) -> (G, 48, 48, ...): cell (i12, j12), sub-point
+    # (i4, j4) -> row i12*4+i4, col j12*4+j4 (models/pats.py:70-71)
+    full_pts = full_pts.reshape(G, 12, 12, 4, 4, 2).transpose(
+        0, 1, 3, 2, 4, 5).reshape(G, 48, 48, 2)
+    full_valid = full_valid.reshape(G, 12, 12, 4, 4).transpose(
+        0, 1, 3, 2, 4).reshape(G, 48, 48)
+
+    return compose_matches(center, crop_scale, full_pts, full_valid,
+                           gh, gw, patch=32)
+
+
 class PATSCascade(nn.Module):
     """Full three-level matcher for one image pair."""
 
@@ -104,12 +165,8 @@ class PATSCascade(nn.Module):
             sinkhorn_tol=cfg.sinkhorn_tol,
             dtype=dtype, name="coarse")(left, right)
 
-        boxes, crop_scale, center = _subdivide(
-            r1["pts"], r1["x_scale"], r1["y_scale"], H, W)
-        right_pad = jnp.pad(right, ((_MARGIN, _MARGIN), (_MARGIN, _MARGIN),
-                                    (0, 0)))
-        right_crops = crop_resize_batch(right_pad, boxes, out_size=96)
-        left_crops = extract_patch_neighborhoods(left, patch=32)
+        left_crops, right_crops, crop_scale, center = prepare_crops(
+            left, right, r1["pts"], r1["x_scale"], r1["y_scale"])
 
         f = cfg.fine
         r2 = FineMatcher(
@@ -127,14 +184,8 @@ class PATSCascade(nn.Module):
             gh, gw, self.outdoor, self.merge_new)
 
         # ---- compact alive cells to the static level-3 capacity 16*G ----
-        K3 = 16 * G
-        flat_alive = r2["cell_alive"].reshape(G * 144)
-        order = jnp.argsort(jnp.logical_not(flat_alive).astype(jnp.int32),
-                            stable=True)[:K3]
-        point_pid = (order // 144).astype(jnp.int32)
-        point_cell = (order % 144).astype(jnp.int32)
-        point_tgt = r2["pts"].reshape(G * 144, 2)[order]
-        point_valid = flat_alive[order]
+        order, point_pid, point_cell, point_tgt, point_valid = compact_cells(
+            r2["cell_alive"], r2["pts"], G)
 
         rcfg = cfg.refine
         r3 = SubpixelRefiner(
@@ -152,32 +203,9 @@ class PATSCascade(nn.Module):
             left_crops, right_crops, r2["tokens0"], r2["tokens1"],
             point_pid, point_cell, point_tgt, point_valid, r1["alive"])
 
-        if self.outdoor:
-            valid16 = r3["valid16"] & point_valid[:, None]
-        else:
-            keep = jnp.zeros((16,), bool).at[jnp.asarray(_INDOOR_SUBPOINTS)
-                                             ].set(True)
-            valid16 = keep[None, :] & point_valid[:, None]
-
-        # refined right positions (x, y crop px) -> (row, col) in 2-px units
-        refined = jnp.stack([r3["mkpts1"][..., 1], r3["mkpts1"][..., 0]],
-                            axis=-1) / 2.0                     # (K3, 16, 2)
-
-        # ---- scatter back to the (G, 144, 16) grid and reorder to 48x48 ----
-        full_pts = jnp.zeros((G * 144, 16, 2), refined.dtype)
-        full_pts = full_pts.at[order].set(refined)
-        full_valid = jnp.zeros((G * 144, 16), bool)
-        full_valid = full_valid.at[order].set(valid16)
-
-        # (G, 144, 16, ...) -> (G, 48, 48, ...): cell (i12, j12), sub-point
-        # (i4, j4) -> row i12*4+i4, col j12*4+j4 (models/pats.py:70-71)
-        full_pts = full_pts.reshape(G, 12, 12, 4, 4, 2).transpose(
-            0, 1, 3, 2, 4, 5).reshape(G, 48, 48, 2)
-        full_valid = full_valid.reshape(G, 12, 12, 4, 4).transpose(
-            0, 1, 3, 2, 4).reshape(G, 48, 48)
-
-        matches_l, matches_r, valid = compose_matches(
-            center, crop_scale, full_pts, full_valid, gh, gw, patch=32)
+        matches_l, matches_r, valid = finish_matches(
+            r3["mkpts1"], r3["valid16"], point_valid, order, center,
+            crop_scale, gh, gw, self.outdoor)
 
         return {
             "matches_l": matches_l,
