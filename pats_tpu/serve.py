@@ -1,0 +1,236 @@
+"""Serving: a long-lived match service with dynamic micro-batching.
+
+The reference is a batch-1 research script (evaluate.py/demo.py); a
+deployment needs a resident process that keeps the compiled executables
+and weights on-device and amortizes dispatch over concurrent requests.
+This module provides one:
+
+- ``Batcher``: groups concurrent match requests by /32-padded resolution
+  bucket and flushes a bucket when it reaches ``max_batch`` or its oldest
+  request has waited ``max_wait_ms`` — the standard dynamic-batching
+  recipe, mapped onto the cascade's fixed-shape compiled steps (one
+  executable per bucket, reused across requests).
+- ``MatchServer``: a stdlib ThreadingHTTPServer speaking a simple
+  protocol (no external deps, local/sidecar use):
+
+    POST /match    body = .npz with arrays image0, image1 (uint8/float
+                   HWC); response = .npz with matches_l, matches_r
+                   (N, 2) float32 (row, col)
+    GET  /healthz  JSON: device platform, buckets compiled, queue depth
+
+Run:  python -m pats_tpu.serve configs/megadepth.yaml --port 8008
+(add --platform cpu to serve off-accelerator).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _bucket(shape0, shape1, quantum: int = 32) -> Tuple[int, int]:
+    h = max(shape0[0], shape1[0])
+    w = max(shape0[1], shape1[1])
+    q = quantum
+    return (-(-h // q) * q, -(-w // q) * q)
+
+
+def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = np.zeros((h, w) + img.shape[2:], img.dtype)
+    out[: img.shape[0], : img.shape[1]] = img
+    return out
+
+
+@dataclass
+class _Request:
+    image0: np.ndarray
+    image1: np.ndarray
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    error: Optional[Exception] = None
+
+
+class Batcher:
+    """Groups concurrent requests into same-bucket device batches."""
+
+    def __init__(self, matcher, max_batch: int = 4, max_wait_ms: float = 5.0,
+                 quantum: int = 32):
+        self.matcher = matcher
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.quantum = quantum
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.buckets_seen = set()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def match(self, image0: np.ndarray, image1: np.ndarray,
+              timeout: float = 300.0) -> Tuple[np.ndarray, np.ndarray]:
+        req = _Request(np.asarray(image0), np.asarray(image1))
+        self.queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("match request timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # --- internals ---
+
+    def _loop(self):
+        pending: dict = {}           # bucket -> (first_ts, [requests])
+        while not self._stop.is_set():
+            timeout = self.max_wait
+            if pending:
+                oldest = min(ts for ts, _ in pending.values())
+                timeout = max(0.0, oldest + self.max_wait - time.time())
+            try:
+                req = self.queue.get(timeout=max(timeout, 1e-3))
+                b = _bucket(req.image0.shape, req.image1.shape, self.quantum)
+                ts, reqs = pending.setdefault(b, (time.time(), []))
+                reqs.append(req)
+                if len(reqs) >= self.max_batch:
+                    self._flush(b, pending.pop(b)[1])
+            except queue.Empty:
+                pass
+            now = time.time()
+            for b in [b for b, (ts, _) in pending.items()
+                      if now - ts >= self.max_wait]:
+                self._flush(b, pending.pop(b)[1])
+        for _, (_, reqs) in pending.items():
+            self._flush_error(reqs, RuntimeError("server shutting down"))
+
+    def _flush(self, bucket, reqs: List[_Request]):
+        h, w = bucket
+        self.buckets_seen.add(bucket)
+        try:
+            results = self._run([_pad_to(r.image0, h, w) for r in reqs],
+                                [_pad_to(r.image1, h, w) for r in reqs])
+            for r, (ml, mr) in zip(reqs, results):
+                keep = ((ml[:, 0] < r.image0.shape[0])
+                        & (ml[:, 1] < r.image0.shape[1])
+                        & (mr[:, 0] < r.image1.shape[0])
+                        & (mr[:, 1] < r.image1.shape[1]))
+                r.result = (ml[keep], mr[keep])
+                r.done.set()
+        except Exception as e:                   # noqa: BLE001
+            self._flush_error(reqs, e)
+
+    def _run(self, ims0, ims1):
+        m = self.matcher
+        if hasattr(m, "match_batch"):            # ShardedMatcher
+            return m.match_batch(ims0, ims1, batch_size=len(ims0))
+        return [m.match(a, b) for a, b in zip(ims0, ims1)]
+
+    @staticmethod
+    def _flush_error(reqs, err):
+        for r in reqs:
+            r.error = err
+            r.done.set()
+
+
+def make_server(batcher: Batcher, host: str = "127.0.0.1", port: int = 8008):
+    """ThreadingHTTPServer wired to a Batcher (returned, not started)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):               # quiet
+            pass
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send(404, b"{}", "application/json")
+            import jax
+
+            info = {
+                "platform": jax.devices()[0].platform,
+                "devices": len(jax.devices()),
+                "buckets": sorted(list(batcher.buckets_seen)),
+                "queue_depth": batcher.queue.qsize(),
+            }
+            self._send(200, json.dumps(info).encode(), "application/json")
+
+        def do_POST(self):
+            if self.path != "/match":
+                return self._send(404, b"{}", "application/json")
+            try:
+                n = int(self.headers["Content-Length"])
+                data = np.load(io.BytesIO(self.rfile.read(n)))
+                ml, mr = batcher.match(data["image0"], data["image1"])
+                buf = io.BytesIO()
+                np.savez(buf, matches_l=ml.astype(np.float32),
+                         matches_r=mr.astype(np.float32))
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            except Exception as e:               # noqa: BLE001
+                self._send(500, json.dumps({"error": repr(e)}).encode(),
+                           "application/json")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", type=str)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--torch-checkpoints", nargs=3, default=None)
+    ap.add_argument("--platform", default=None,
+                    choices=("cpu", "tpu", "axon"))
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from pats_tpu.config import load_config, reference_yaml_to_config
+    from pats_tpu.matcher import Matcher
+
+    try:
+        cfg = load_config(args.config)
+    except KeyError:
+        cfg = reference_yaml_to_config(args.config)
+    if args.torch_checkpoints:
+        matcher = Matcher.from_torch_checkpoints(cfg, *args.torch_checkpoints)
+    else:
+        matcher = Matcher(cfg, seed=cfg.eval.seed)
+        if args.checkpoint:
+            from pats_tpu.io.checkpoint import load_checkpoint
+
+            matcher.variables = load_checkpoint(args.checkpoint,
+                                                like=matcher.variables)
+
+    batcher = Batcher(matcher, args.max_batch, args.max_wait_ms)
+    server = make_server(batcher, args.host, args.port)
+    print(f"serving on {args.host}:{args.port}", flush=True)
+    try:
+        server.serve_forever()
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()
