@@ -30,6 +30,24 @@ def load_gt_trajectory(path: str) -> np.ndarray:
     return np.asarray(rows)
 
 
+def load_matcher_checkpoint(path: str, variables: dict) -> dict:
+    """Restore a full-cascade checkpoint, or overlay a coarse-only one
+    (what tools/train_run.py --save writes) onto random fine/refine."""
+    from pats_tpu.io.checkpoint import load_checkpoint
+
+    try:
+        return load_checkpoint(path, like=variables)
+    except Exception:                            # noqa: BLE001
+        like = {"params": variables["params"]["coarse"],
+                "batch_stats": variables["batch_stats"]["coarse"]}
+        got = load_checkpoint(path, like=like)
+        out = {"params": dict(variables["params"]),
+               "batch_stats": dict(variables["batch_stats"])}
+        out["params"]["coarse"] = got["params"]
+        out["batch_stats"]["coarse"] = got["batch_stats"]
+        return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("frames", type=str)
@@ -39,7 +57,17 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--long-side", type=int, default=640)
     parser.add_argument("--threshold-px", type=float, default=0.5)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="orbax checkpoint dir (e.g. a trained "
+                             "tools/train_run.py --save output)")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=("cpu", "tpu", "axon"))
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from pats_tpu.config import load_config
     from pats_tpu.data.video import VideoFrames
@@ -49,6 +77,9 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     matcher = Matcher(cfg, seed=cfg.eval.seed)
+    if args.checkpoint:
+        matcher.variables = load_matcher_checkpoint(args.checkpoint,
+                                                    matcher.variables)
     fx, fy, cx, cy = args.K
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
 

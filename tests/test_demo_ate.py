@@ -56,3 +56,36 @@ def test_gt_loader(tmp_path):
     # TUM style: timestamp then xyz
     p.write_text("0.0 1 2 3 0 0 0 1\n")
     np.testing.assert_array_equal(load_gt_trajectory(str(p)), [[1, 2, 3]])
+
+
+def test_load_matcher_checkpoint_overlay(tmp_path):
+    """A coarse-only checkpoint (tools/train_run.py --save) overlays onto
+    the full cascade tree; a full checkpoint restores directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from pats_tpu.io.checkpoint import save_checkpoint
+    from pats_tpu.slam.demo_ate import load_matcher_checkpoint
+
+    variables = {
+        "params": {"coarse": {"w": jnp.zeros((2,))},
+                   "fine": {"w": jnp.ones((3,))},
+                   "refine": {"w": jnp.ones((4,))}},
+        "batch_stats": {"coarse": {"m": jnp.zeros((2,))},
+                        "fine": {"m": jnp.zeros((3,))},
+                        "refine": {"m": jnp.zeros((4,))}},
+    }
+    coarse_only = {"params": {"w": jnp.full((2,), 7.0)},
+                   "batch_stats": {"m": jnp.full((2,), 3.0)}}
+    p = str(tmp_path / "coarse_ckpt")
+    save_checkpoint(p, coarse_only)
+    out = load_matcher_checkpoint(p, variables)
+    assert float(out["params"]["coarse"]["w"][0]) == 7.0
+    assert float(out["batch_stats"]["coarse"]["m"][0]) == 3.0
+    assert float(out["params"]["fine"]["w"][0]) == 1.0   # untouched
+
+    p2 = str(tmp_path / "full_ckpt")
+    full = jax.tree.map(lambda x: x + 1.0, variables)
+    save_checkpoint(p2, full)
+    out2 = load_matcher_checkpoint(p2, variables)
+    assert float(out2["params"]["refine"]["w"][0]) == 2.0
