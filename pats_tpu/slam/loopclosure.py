@@ -95,13 +95,12 @@ def close_loops(graph, matcher, min_gap: int = 5,
             continue
         R_ij, t_ij, _n = got
         # the two-view translation is DIRECTION-only (monocular, unit
-        # norm); its magnitude is unobservable, so scale it to the
-        # current estimate's i->j chord length — the edge then
-        # constrains rotation + bearing without asserting a fictitious
-        # metric gap (an always-1.0 norm would stretch closed loops)
-        chord = float(np.linalg.norm(
-            kfs[j].t - (kfs[j].R @ kfs[i].R.T) @ kfs[i].t))
-        edges.append((i, j, R_ij, t_ij * chord, loop_weight))
+        # norm); its magnitude is unobservable.  Mark the edge
+        # scale_free: the PGO rescales it to the current estimate's
+        # i->j chord at every relinearization, so the edge constrains
+        # rotation + bearing without asserting a fictitious metric gap
+        # (an always-1.0 norm would stretch closed loops).
+        edges.append((i, j, R_ij, t_ij, loop_weight, True))
         accepted.append((i, j))
     if not accepted:
         return []

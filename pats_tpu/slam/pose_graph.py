@@ -81,6 +81,10 @@ class PoseGraph(NamedTuple):
     R_meas: jnp.ndarray   # (M, 3, 3) measured cam_i -> cam_j
     t_meas: jnp.ndarray   # (M, 3)
     weight: jnp.ndarray   # (M,) residual weight (loop edges can be upweighted)
+    # (M,) bool: translation magnitude is unobservable (monocular loop
+    # edge) - t_meas is a DIRECTION, rescaled to the current estimate's
+    # chord at every relinearization
+    scale_free: jnp.ndarray = None
 
 
 def _residuals(xi: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
@@ -118,6 +122,18 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 10,
     def body(state, _):
         R, t, _ = state
         gi = g._replace(R=R, t=t)
+        if g.scale_free is not None:
+            # monocular loop edges: keep the measured DIRECTION, take the
+            # magnitude from the current estimate's i->j chord (rescaled
+            # at every relinearization - the bearing-only constraint)
+            R_rel = R[g.edge_j] @ jnp.swapaxes(R[g.edge_i], -1, -2)
+            t_rel = t[g.edge_j] - jnp.einsum("mij,mj->mi", R_rel,
+                                             t[g.edge_i])
+            chord = jnp.linalg.norm(t_rel, axis=-1, keepdims=True)
+            unit = g.t_meas / jnp.maximum(
+                jnp.linalg.norm(g.t_meas, axis=-1, keepdims=True), 1e-9)
+            gi = gi._replace(t_meas=jnp.where(
+                g.scale_free[:, None], unit * chord, g.t_meas))
         xi0 = jnp.zeros((N, 6), g.R.dtype)
         r = _residuals(xi0, gi).reshape(-1)
         J = jax.jacrev(lambda x: _residuals(x, gi).reshape(-1))(xi0)
@@ -138,13 +154,17 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 10,
 
 def graph_from_edges(poses_R: np.ndarray, poses_t: np.ndarray,
                      edges) -> PoseGraph:
-    """edges: list of (i, j, R_ij, t_ij, weight) numpy measurements."""
+    """edges: list of (i, j, R_ij, t_ij, weight[, scale_free]) numpy
+    measurements; scale_free (default False) marks direction-only
+    monocular translations."""
     ei = np.asarray([e[0] for e in edges], np.int32)
     ej = np.asarray([e[1] for e in edges], np.int32)
     Rm = np.stack([e[2] for e in edges]).astype(np.float32)
     tm = np.stack([e[3] for e in edges]).astype(np.float32)
     w = np.asarray([e[4] for e in edges], np.float32)
+    sf = np.asarray([bool(e[5]) if len(e) > 5 else False for e in edges])
     return PoseGraph(jnp.asarray(poses_R, jnp.float32),
                      jnp.asarray(poses_t, jnp.float32),
                      jnp.asarray(ei), jnp.asarray(ej),
-                     jnp.asarray(Rm), jnp.asarray(tm), jnp.asarray(w))
+                     jnp.asarray(Rm), jnp.asarray(tm), jnp.asarray(w),
+                     jnp.asarray(sf))
