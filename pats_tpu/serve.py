@@ -223,7 +223,20 @@ def main(argv=None):
             matcher.variables = load_checkpoint(args.checkpoint,
                                                 like=matcher.variables)
 
-    batcher = Batcher(matcher, args.max_batch, args.max_wait_ms)
+    # batched device dispatch: requests grouped by the Batcher run as ONE
+    # vmapped/sharded step instead of a per-pair loop
+    try:
+        from pats_tpu.parallel.eval import ShardedMatcher
+        from pats_tpu.parallel.mesh import make_mesh
+
+        runner = ShardedMatcher(cfg, make_mesh(model=1), matcher.variables,
+                                batch_size=args.max_batch)
+    except Exception as e:                       # noqa: BLE001
+        print(f"batched runner unavailable ({e!r}); per-pair fallback",
+              flush=True)
+        runner = matcher
+
+    batcher = Batcher(runner, args.max_batch, args.max_wait_ms)
     server = make_server(batcher, args.host, args.port)
     print(f"serving on {args.host}:{args.port}", flush=True)
     try:
