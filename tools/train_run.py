@@ -72,7 +72,10 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    # 1e-4: the CPU LR sweep (TRAIN_AB_r2.md) showed 3e-4 blows the run
+    # out of the high-precision basin mid-training (0.75 -> 0.25 held-out
+    # precision while the loss plateaus); 1e-4 converges at the peak
+    ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--warmup", type=int, default=50)
     ap.add_argument("--clip", type=float, default=1.0)
     ap.add_argument("--eval-every", type=int, default=50)
