@@ -119,9 +119,11 @@ class FineTrainer:
         return ((left_crops, right_crops), out["desc0"], out["alive"],
                 crop_scale, center)
 
-    def _pair_loss(self, params, batch_stats, coarse_variables, dustbin_w,
-                   left, right, labels8):
-        """labels8: (H8*W8, 3) raw depth labels at 8-px granularity."""
+    def _pair_forward(self, params, batch_stats, coarse_variables,
+                      left, right, labels8):
+        """Shared forward + on-device label mapping -> (out, res, labels).
+
+        labels8: (H8*W8, 3) raw depth labels at 8-px granularity."""
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
         crops, desc, alive, crop_scale, center = self._front(
             coarse_variables, left, right)
@@ -154,8 +156,37 @@ class FineTrainer:
             bound=jnp.zeros(out["trust"].shape + (4,), jnp.int32),
             if_nomatching=jnp.logical_not(out["cell_matched"]))
         labels = LevelLabels(gt_pos, gt_class.astype(jnp.int32))
+        return out, res, labels
+
+    def _pair_loss(self, params, batch_stats, coarse_variables, dustbin_w,
+                   left, right, labels8):
+        out, res, labels = self._pair_forward(
+            params, batch_stats, coarse_variables, left, right, labels8)
         return transport_level_loss(out["plan"], res, labels, 12, 12,
                                     dustbin_mismatch_weight=dustbin_w)
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_metrics(self, state: TrainState, batch):
+        """Held-out metrics: mean loss + cell precision (fraction of
+        GT-positive cells the model matched within 1 cell)."""
+        def one(left, right, labels8):
+            out, res, labels = self._pair_forward(
+                state.params, state.batch_stats, self.coarse_variables,
+                left, right, labels8)
+            loss = transport_level_loss(out["plan"], res, labels, 12, 12)
+            err = jnp.linalg.norm(res.average_point - labels.gt_pos,
+                                  axis=-1)
+            pos = labels.gt_class > 0
+            matched = jnp.logical_not(res.if_nomatching)
+            hit = pos & matched & (err < 1.0)
+            return (loss, jnp.sum(hit.astype(jnp.int32)),
+                    jnp.sum(pos.astype(jnp.int32)))
+
+        loss, hits, pos = jax.vmap(one)(batch["left"], batch["right"],
+                                        batch["labels8"])
+        return {"loss": jnp.mean(loss),
+                "precision": jnp.sum(hits) / jnp.maximum(jnp.sum(pos), 1),
+                "n_positive": jnp.sum(pos)}
 
     def _loss_fn(self, params, batch_stats, coarse_variables, dustbin_w,
                  batch):

@@ -84,6 +84,13 @@ def main():
     ap.add_argument("--out", default="/tmp/train_curve.jsonl")
     ap.add_argument("--save", default=None,
                     help="orbax checkpoint dir for the final params")
+    ap.add_argument("--level", default="coarse",
+                    choices=("coarse", "fine"),
+                    help="which cascade level to train (fine trains "
+                         "through a frozen coarse level)")
+    ap.add_argument("--init-coarse", default=None,
+                    help="orbax coarse checkpoint to freeze under "
+                         "--level fine (default: random coarse)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -98,27 +105,57 @@ def main():
     from pats_tpu.train.synthetic import synthetic_batches, warp_pair
     from pats_tpu.train.trainer import CoarseTrainer
 
-    cfg = load_config(None, {"model": {"coarse": {
-        "gnn_layers": args.gnn_layers}}})
+    cfg = load_config(None, {"model": {
+        "coarse": {"gnn_layers": args.gnn_layers},
+        "fine": {"gnn_layers": args.gnn_layers}}})
 
     mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
-    trainer = CoarseTrainer(cfg, mesh, learning_rate=args.lr,
-                            total_steps=args.steps,
-                            warmup_steps=args.warmup, clip_norm=args.clip)
     H = W = args.size
     key = jax.random.PRNGKey(0)
     import jax.numpy as jnp
-    state = trainer.init(key, jnp.zeros((H, W, 3)), jnp.zeros((H, W, 3)))
+
+    level = 0 if args.level == "coarse" else 1
+    if args.level == "coarse":
+        trainer = CoarseTrainer(cfg, mesh, learning_rate=args.lr,
+                                total_steps=args.steps,
+                                warmup_steps=args.warmup,
+                                clip_norm=args.clip)
+        state = trainer.init(key, jnp.zeros((H, W, 3)),
+                             jnp.zeros((H, W, 3)))
+    else:
+        from pats_tpu.train.fine_trainer import FineTrainer
+
+        trainer = FineTrainer(cfg, mesh, learning_rate=args.lr,
+                              total_steps=args.steps,
+                              warmup_steps=args.warmup,
+                              clip_norm=args.clip)
+        zero = jnp.zeros((H, W, 3))
+        coarse_vars = jax.jit(trainer.coarse.init)(key, zero, zero)
+        if args.init_coarse:
+            from pats_tpu.io.checkpoint import load_checkpoint
+
+            got = load_checkpoint(args.init_coarse, like={
+                "params": coarse_vars["params"],
+                "batch_stats": coarse_vars["batch_stats"]})
+            coarse_vars = {"params": got["params"],
+                           "batch_stats": got["batch_stats"]}
+        state = trainer.init(key, coarse_vars, zero, zero)
 
     rng = np.random.default_rng(0)
     train_imgs = textured_images(rng, 32, H, W)
     hold_rng = np.random.default_rng(999)
     hold_imgs = textured_images(hold_rng, args.eval_pairs, H, W)
     warp_kw = dict(max_rotation=0.1, max_scale=0.1, max_translation=0.05)
-    hold_pairs = [warp_pair(im, hold_rng, level=0, **warp_kw)
+    hold_pairs = [warp_pair(im, hold_rng, level=level, **warp_kw)
                   for im in hold_imgs]
+    if args.level == "fine":
+        hold_batch = {
+            "left": np.stack([p["left"] for p in hold_pairs]),
+            "right": np.stack([p["right"] for p in hold_pairs]),
+            "labels8": np.stack([p["labels_raw"] for p in hold_pairs]),
+        }
 
-    it = synthetic_batches(train_imgs, batch_size=args.batch, level=0,
+    it = synthetic_batches(train_imgs, batch_size=args.batch, level=level,
                            seed=7, **warp_kw)
     fh = open(args.out, "w")
     t0 = time.time()
@@ -131,16 +168,27 @@ def main():
     for step, batch in enumerate(it):
         if step >= args.steps:
             break
-        batch = {k: batch[k] for k in ("left", "right", "gt_pos",
-                                       "gt_class")}
-        state, m = trainer.step(state, jax.random.fold_in(key, step), batch)
+        if args.level == "coarse":
+            batch = {k: batch[k] for k in ("left", "right", "gt_pos",
+                                           "gt_class")}
+            state, m = trainer.step(state, jax.random.fold_in(key, step),
+                                    batch)
+        else:
+            batch = {"left": batch["left"], "right": batch["right"],
+                     "labels8": batch["labels_raw"]}
+            state, m = trainer.step(state, batch)
         hb.beat(step)
         if step % args.eval_every == 0 or step == args.steps - 1:
             loss = float(np.asarray(m["loss"]))      # sync point
             gnorm = float(np.asarray(m["grad_norm"]))
-            prec, n_alive = coarse_precision(
-                trainer.model, state.params, state.batch_stats, hold_pairs,
-                jax.random.PRNGKey(1))
+            if args.level == "coarse":
+                prec, n_alive = coarse_precision(
+                    trainer.model, state.params, state.batch_stats,
+                    hold_pairs, jax.random.PRNGKey(1))
+            else:
+                em = trainer.eval_metrics(state, hold_batch)
+                prec = float(np.asarray(em["precision"]))
+                n_alive = int(np.asarray(em["n_positive"]))
             rec = {"step": step, "loss": round(loss, 4),
                    "grad_norm": round(gnorm, 2),
                    "precision": round(prec, 4), "n_alive": n_alive,
