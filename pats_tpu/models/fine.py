@@ -179,4 +179,7 @@ class FineMatcher(nn.Module):
             "tokens1": mdesc1,
             "x_scale": res.x_scale,
             "y_scale": res.y_scale,
+            # learned OT column marginals (scale heads), for the training
+            # scale anchor (train/losses.scale_anchor_loss)
+            "scales_head": scale_x * scale_y,
         }

@@ -29,7 +29,7 @@ from pats_tpu.ops.expand import ExpandResult
 from pats_tpu.ops.extract import extract_patch_neighborhoods
 from pats_tpu.ops.resize import crop_resize_batch
 from pats_tpu.train.losses import (LevelLabels, dustbin_weight_schedule,
-                                   transport_level_loss)
+                                   scale_anchor_loss, transport_level_loss)
 from pats_tpu.train.trainer import TrainState
 
 _MARGIN = 128
@@ -162,8 +162,9 @@ class FineTrainer:
                    left, right, labels8):
         out, res, labels = self._pair_forward(
             params, batch_stats, coarse_variables, left, right, labels8)
-        return transport_level_loss(out["plan"], res, labels, 12, 12,
-                                    dustbin_mismatch_weight=dustbin_w)
+        return (transport_level_loss(out["plan"], res, labels, 12, 12,
+                                     dustbin_mismatch_weight=dustbin_w)
+                + scale_anchor_loss(out["scales_head"], labels, 12, 12))
 
     @partial(jax.jit, static_argnums=0)
     def eval_metrics(self, state: TrainState, batch):

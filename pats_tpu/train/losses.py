@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from pats_tpu.ops.expand import ExpandResult
@@ -122,6 +123,39 @@ def dustbin_weight_schedule(step, hold_steps: int = 150,
     """
     t = jnp.clip((step - hold_steps) / max(decay_steps, 1), 0.0, 1.0)
     return peak + (final - peak) * t
+
+
+def scale_anchor_loss(ns_pred: jnp.ndarray, labels: LevelLabels,
+                      height: int, width: int) -> jnp.ndarray:
+    """Anchor the learned per-target-cell scale head to its GT marginal.
+
+    The scale head's output is the OT column marginal: the mass target
+    cell j absorbs, which by construction (each source row carries unit
+    mass) should equal the NUMBER of GT-positive source cells mapping
+    into j.  That count is derivable from the labels alone.  Without
+    this anchor nothing in the loss pins the head's magnitude, and
+    500-step runs collapse it (scale_med 1.0 -> 0.28, TRAIN_AB_r2.md
+    diagnostic) which wrecks the expansion's soft-argmax and the
+    level-2 crop boxes.  Squared log-error over target cells with at
+    least one GT source.
+
+    ns_pred: (..., N) positive scale-head outputs (N = height*width).
+    """
+    pos = (labels.gt_class > 0).astype(jnp.float32)
+    cell = (jnp.floor(labels.gt_pos[..., 0]).astype(jnp.int32) * width
+            + jnp.floor(labels.gt_pos[..., 1]).astype(jnp.int32))
+    cell = jnp.clip(cell, 0, height * width - 1)
+    if ns_pred.ndim == 1:
+        ns_gt = jax.ops.segment_sum(pos, cell,
+                                    num_segments=height * width)
+    else:
+        ns_gt = jax.vmap(lambda p, c: jax.ops.segment_sum(
+            p, c, num_segments=height * width))(pos, cell)
+    gate = ns_gt > 0.5
+    d = jnp.log(jnp.maximum(ns_pred, 1e-6)) - jnp.log(
+        jnp.maximum(ns_gt, 1e-6))
+    denom = jnp.sum(gate.astype(jnp.float32)) + 1e-7
+    return jnp.sum(jnp.where(gate, jnp.square(d), 0.0)) / denom
 
 
 def trust_loss(res: ExpandResult, labels: LevelLabels) -> jnp.ndarray:

@@ -26,7 +26,7 @@ from pats_tpu.config import PATSConfig
 from pats_tpu.models.coarse import CoarseMatcher
 from pats_tpu.ops.expand import ExpandResult
 from pats_tpu.train.losses import (LevelLabels, dustbin_weight_schedule,
-                                   transport_level_loss)
+                                   scale_anchor_loss, transport_level_loss)
 from pats_tpu.train.optim import make_optimizer
 
 
@@ -52,9 +52,11 @@ class CoarseTrainer:
     def __init__(self, cfg: PATSConfig, mesh: Mesh,
                  learning_rate: float = 1e-4,
                  total_steps: int = None, warmup_steps: int = 0,
-                 clip_norm: float = 1.0):
+                 clip_norm: float = 1.0,
+                 dustbin_final: float = 1.0):
         self.cfg = cfg
         self.mesh = mesh
+        self.dustbin_final = dustbin_final
         self.model = _training_model(cfg)
         self.tx = make_optimizer(learning_rate, total_steps=total_steps,
                                  warmup_steps=warmup_steps,
@@ -88,8 +90,9 @@ class CoarseTrainer:
             if_nomatching=jnp.logical_not(out["alive"])[None])
         labels = LevelLabels(gt_pos[None], gt_class[None])
         h, w = out["grid"]
-        return transport_level_loss(out["plan"][None], res, labels, h, w,
-                                    dustbin_mismatch_weight=dustbin_w)
+        return (transport_level_loss(out["plan"][None], res, labels, h, w,
+                                     dustbin_mismatch_weight=dustbin_w)
+                + scale_anchor_loss(out["scales_head"][None], labels, h, w))
 
     def _loss_fn(self, params, batch_stats, rng, dustbin_w, batch):
         rngs = jax.random.split(rng, batch["left"].shape[0])
@@ -104,7 +107,8 @@ class CoarseTrainer:
               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         # anneal the anti-collapse dustbin term once collapse danger passes
         # (round-2 curve: precision dipped mid-run while loss kept falling)
-        dustbin_w = dustbin_weight_schedule(state.step)
+        dustbin_w = dustbin_weight_schedule(state.step,
+                                            final=self.dustbin_final)
         loss, grads = jax.value_and_grad(self._loss_fn)(
             state.params, state.batch_stats, rng, dustbin_w, batch)
         updates, opt_state = self.tx.update(grads, state.opt_state,

@@ -54,3 +54,31 @@ def test_dustbin_weight_schedule():
     assert 2.9 < mid < 3.1
     assert float(sched(jnp.int32(400))) == 1.0
     assert float(sched(jnp.int32(10_000))) == 1.0
+
+
+def test_scale_anchor_loss():
+    """The anchor is zero when the head equals the GT per-target-cell
+    source counts, and positive when the head collapses."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pats_tpu.train.losses import LevelLabels, scale_anchor_loss
+
+    h = w = 2
+    # sources 0 and 1 both map into target cell (0, 0); source 2 into
+    # (1, 1); source 3 negative
+    gt_pos = jnp.asarray([[0.2, 0.3], [0.7, 0.1], [1.5, 1.5],
+                          [-1.0, -1.0]], jnp.float32)
+    gt_class = jnp.asarray([1, 1, 1, -1], jnp.int32)
+    labels = LevelLabels(gt_pos[None], gt_class[None])
+
+    exact = jnp.asarray([2.0, 1.0, 1.0, 1.0], jnp.float32)   # cells 0..3
+    # cells 1 and 2 have no GT source -> ungated, any value is fine
+    exact = exact.at[1].set(17.0).at[2].set(0.01)
+    exact = exact.at[3].set(1.0)
+    np.testing.assert_allclose(
+        float(scale_anchor_loss(exact[None], labels, h, w)), 0.0,
+        atol=1e-9)
+
+    collapsed = jnp.full((4,), 0.28, jnp.float32)
+    assert float(scale_anchor_loss(collapsed[None], labels, h, w)) > 1.0

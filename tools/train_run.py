@@ -40,11 +40,17 @@ def textured_images(rng, n, h, w):
 
 def coarse_precision(model, params, batch_stats, pairs, rng_key,
                      threshold_px=16.0):
-    """Precision of the coarse level's per-cell predicted points."""
+    """Held-out metrics of the coarse level.  Returns (precision, n_alive,
+    diag) where diag decomposes failures: ``argmax_hit`` = fraction whose
+    transport argmax lands within 1 cell of GT (the NLL's target),
+    ``err_med`` = median px error of the soft-argmax points, ``err_hit``
+    = median px error among argmax-hit cells only (position quality where
+    the transport is right), ``scale_med`` = median predicted scale."""
     import jax
     import jax.numpy as jnp
 
-    n_ok = n_alive = 0
+    n_ok = n_alive = n_hit = 0
+    errs, errs_hit, scales = [], [], []
     for ex in pairs:
         out, _ = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -52,6 +58,7 @@ def coarse_precision(model, params, batch_stats, pairs, rng_key,
             mutable=["batch_stats"], rngs={"dropout": rng_key})
         pts = np.asarray(out["pts"], np.float64) * 32.0     # (G, 2) px
         alive = np.asarray(out["alive"])
+        plan = np.asarray(out["plan"], np.float64)
         h, w = out["grid"]
         r, c = np.divmod(np.arange(h * w), w)
         centers = np.stack([(c + 0.5) * 32, (r + 0.5) * 32,
@@ -64,7 +71,24 @@ def coarse_precision(model, params, batch_stats, pairs, rng_key,
         ok = alive & inside & (err < threshold_px)
         n_ok += int(ok.sum())
         n_alive += int((alive & inside).sum())
-    return (n_ok / max(n_alive, 1)), n_alive
+        # transport argmax vs GT cell (Chebyshev <= 1, the NLL's gate)
+        amax = plan[:-1, :-1].argmax(1)
+        ar, ac = np.divmod(amax, w)
+        gr, gc = np.floor(gt[:, 1] / 32.0), np.floor(gt[:, 0] / 32.0)
+        hit = (np.abs(ar - gr) <= 1) & (np.abs(ac - gc) <= 1)
+        sel = alive & inside
+        n_hit += int((hit & sel).sum())
+        errs += list(err[sel])
+        errs_hit += list(err[sel & hit])
+        scales += list(np.asarray(out["x_scale"])[sel])
+    diag = {
+        "argmax_hit": round(n_hit / max(n_alive, 1), 4),
+        "err_med": round(float(np.median(errs)) if errs else -1.0, 2),
+        "err_hit": round(float(np.median(errs_hit))
+                         if errs_hit else -1.0, 2),
+        "scale_med": round(float(np.median(scales)) if scales else -1.0, 3),
+    }
+    return (n_ok / max(n_alive, 1)), n_alive, diag
 
 
 def main():
@@ -91,6 +115,13 @@ def main():
     ap.add_argument("--init-coarse", default=None,
                     help="orbax coarse checkpoint to freeze under "
                          "--level fine (default: random coarse)")
+    ap.add_argument("--train-images", type=int, default=32,
+                    help="size of the procedural texture pool (small pools "
+                         "overfit: held-out precision decays while train "
+                         "loss plateaus)")
+    ap.add_argument("--dustbin-final", type=float, default=1.0,
+                    help="annealed end value of the anti-collapse dustbin "
+                         "weight (5.0 = no anneal)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -119,7 +150,8 @@ def main():
         trainer = CoarseTrainer(cfg, mesh, learning_rate=args.lr,
                                 total_steps=args.steps,
                                 warmup_steps=args.warmup,
-                                clip_norm=args.clip)
+                                clip_norm=args.clip,
+                                dustbin_final=args.dustbin_final)
         state = trainer.init(key, jnp.zeros((H, W, 3)),
                              jnp.zeros((H, W, 3)))
     else:
@@ -142,7 +174,7 @@ def main():
         state = trainer.init(key, coarse_vars, zero, zero)
 
     rng = np.random.default_rng(0)
-    train_imgs = textured_images(rng, 32, H, W)
+    train_imgs = textured_images(rng, args.train_images, H, W)
     hold_rng = np.random.default_rng(999)
     hold_imgs = textured_images(hold_rng, args.eval_pairs, H, W)
     warp_kw = dict(max_rotation=0.1, max_scale=0.1, max_translation=0.05)
@@ -181,8 +213,9 @@ def main():
         if step % args.eval_every == 0 or step == args.steps - 1:
             loss = float(np.asarray(m["loss"]))      # sync point
             gnorm = float(np.asarray(m["grad_norm"]))
+            diag = {}
             if args.level == "coarse":
-                prec, n_alive = coarse_precision(
+                prec, n_alive, diag = coarse_precision(
                     trainer.model, state.params, state.batch_stats,
                     hold_pairs, jax.random.PRNGKey(1))
             else:
@@ -192,7 +225,7 @@ def main():
             rec = {"step": step, "loss": round(loss, 4),
                    "grad_norm": round(gnorm, 2),
                    "precision": round(prec, 4), "n_alive": n_alive,
-                   "t_s": round(time.time() - t0, 1)}
+                   "t_s": round(time.time() - t0, 1), **diag}
             print(json.dumps(rec), flush=True)
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
