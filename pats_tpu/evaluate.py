@@ -39,6 +39,16 @@ def build_dataset(cfg: PATSConfig):
         from pats_tpu.data.yfcc import YfccPairs
 
         return YfccPairs(cfg.eval.data_path, cfg.eval.pairs_path)
+    if name == "SyntheticPlane":
+        from pats_tpu.data.synthetic_pairs import SyntheticPlanePairs
+
+        # no files needed; pairs_path doubles as an option string, e.g.
+        # "n_pairs=64 width=640 height=480 baseline_deg=12"
+        opts = {}
+        for kv in (cfg.eval.pairs_path or "").split():
+            k, v = kv.split("=")
+            opts[k] = int(v) if v.lstrip("-").isdigit() else float(v)
+        return SyntheticPlanePairs(**opts)
     raise ValueError(f"unknown dataset {name!r}")
 
 
@@ -340,11 +350,11 @@ def main(argv=None):
     if args.torch_checkpoints:
         matcher = Matcher.from_torch_checkpoints(cfg, *args.torch_checkpoints)
     elif args.checkpoint or cfg.eval.checkpoint:
-        from pats_tpu.io.checkpoint import load_checkpoint
+        from pats_tpu.io.checkpoint import load_matcher_checkpoint
 
         matcher = Matcher(cfg)
-        matcher.variables = load_checkpoint(
-            args.checkpoint or cfg.eval.checkpoint, like=matcher.variables)
+        matcher.variables = load_matcher_checkpoint(
+            args.checkpoint or cfg.eval.checkpoint, matcher.variables)
     else:
         print("WARNING: no checkpoint given - random weights", file=sys.stderr)
         matcher = Matcher(cfg, seed=cfg.eval.seed)

@@ -33,3 +33,20 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
             return ckptr.restore(path, abstract)
         return ckptr.restore(path)
+
+
+def load_matcher_checkpoint(path: str, variables: dict) -> dict:
+    """Restore a full-cascade checkpoint, or overlay a coarse-only one
+    (what tools/train_run.py --save writes) onto the given variables'
+    fine/refine levels."""
+    try:
+        return load_checkpoint(path, like=variables)
+    except Exception:                            # noqa: BLE001
+        like = {"params": variables["params"]["coarse"],
+                "batch_stats": variables["batch_stats"]["coarse"]}
+        got = load_checkpoint(path, like=like)
+        out = {"params": dict(variables["params"]),
+               "batch_stats": dict(variables["batch_stats"])}
+        out["params"]["coarse"] = got["params"]
+        out["batch_stats"]["coarse"] = got["batch_stats"]
+        return out

@@ -30,22 +30,7 @@ def load_gt_trajectory(path: str) -> np.ndarray:
     return np.asarray(rows)
 
 
-def load_matcher_checkpoint(path: str, variables: dict) -> dict:
-    """Restore a full-cascade checkpoint, or overlay a coarse-only one
-    (what tools/train_run.py --save writes) onto random fine/refine."""
-    from pats_tpu.io.checkpoint import load_checkpoint
-
-    try:
-        return load_checkpoint(path, like=variables)
-    except Exception:                            # noqa: BLE001
-        like = {"params": variables["params"]["coarse"],
-                "batch_stats": variables["batch_stats"]["coarse"]}
-        got = load_checkpoint(path, like=like)
-        out = {"params": dict(variables["params"]),
-               "batch_stats": dict(variables["batch_stats"])}
-        out["params"]["coarse"] = got["params"]
-        out["batch_stats"]["coarse"] = got["batch_stats"]
-        return out
+from pats_tpu.io.checkpoint import load_matcher_checkpoint  # noqa: E402
 
 
 def main(argv=None):

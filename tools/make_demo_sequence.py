@@ -22,16 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def look_at(center: np.ndarray, target: np.ndarray, up=(0, 1, 0)):
-    """World->cam rotation for a camera at ``center`` looking at
-    ``target`` (rows are the camera axes)."""
-    z = target - center
-    z = z / np.linalg.norm(z)
-    x = np.cross(np.asarray(up, float), z)
-    x = x / np.linalg.norm(x)
-    y = np.cross(z, x)
-    return np.stack([x, y, z])
+from pats_tpu.data.synthetic_pairs import (look_at, plane_texture,
+                                           render_plane)
 
 
 def camera_path(n: int, radius: float = 2.0, height: float = 4.0,
@@ -51,31 +43,6 @@ def camera_path(n: int, radius: float = 2.0, height: float = 4.0,
     return np.stack(Rs), np.stack(ts), np.stack(cs)
 
 
-def texture(rng, size=1024):
-    import cv2
-
-    base = rng.uniform(0, 255, (size // 16, size // 16, 3)).astype(np.float32)
-    img = cv2.resize(base, (size, size), interpolation=cv2.INTER_CUBIC)
-    # add mid-frequency detail so matching has texture at several scales
-    det = rng.uniform(-40, 40, (size // 4, size // 4, 3)).astype(np.float32)
-    img += cv2.resize(det, (size, size), interpolation=cv2.INTER_CUBIC)
-    return np.clip(img, 0, 255).astype(np.uint8)
-
-
-def render(tex: np.ndarray, K: np.ndarray, R: np.ndarray, t: np.ndarray,
-           wh, plane_scale: float):
-    """Frame = warpPerspective(tex, H) with H = K [r1 r2 t] S, where S
-    maps texture pixels to world plane coordinates (centered)."""
-    import cv2
-
-    n = tex.shape[0]
-    S = np.array([[plane_scale, 0, -plane_scale * n / 2],
-                  [0, plane_scale, -plane_scale * n / 2],
-                  [0, 0, 1.0]])
-    H = K @ np.stack([R[:, 0], R[:, 1], t], axis=1) @ S
-    return cv2.warpPerspective(tex, H, wh, flags=cv2.INTER_LINEAR)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -90,13 +57,13 @@ def main():
 
     os.makedirs(os.path.join(args.out, "frames"), exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    tex = texture(rng)
+    tex = plane_texture(rng)
     K = np.array([[args.fx, 0, args.width / 2],
                   [0, args.fx, args.height / 2], [0, 0, 1.0]])
     Rs, ts, cs = camera_path(args.frames)
     with open(os.path.join(args.out, "gt_traj.txt"), "w") as f:
         for k in range(args.frames):
-            frame = render(tex, K, Rs[k], ts[k],
+            frame = render_plane(tex, K, Rs[k], ts[k],
                            (args.width, args.height), plane_scale=0.006)
             cv2.imwrite(os.path.join(args.out, "frames", f"{k:04d}.png"),
                         frame)
