@@ -191,6 +191,7 @@ def main():
                            seed=7, **warp_kw)
     fh = open(args.out, "w")
     t0 = time.time()
+    best_prec = -1.0
     # liveness stamps for the heartbeat monitor (parallel/fault.py);
     # a beat per logged step proves *progress*, not just existence
     from pats_tpu.parallel.fault import Heartbeat
@@ -229,13 +230,18 @@ def main():
             print(json.dumps(rec), flush=True)
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
-    fh.close()
-    if args.save:
-        from pats_tpu.io.checkpoint import save_checkpoint
+            if args.save and prec > best_prec:
+                # keep the BEST held-out checkpoint, not the last one:
+                # the curve can degrade late (round-2 anneal collapse)
+                best_prec = prec
+                from pats_tpu.io.checkpoint import save_checkpoint
 
-        save_checkpoint(args.save, {"params": state.params,
-                                    "batch_stats": state.batch_stats})
-        print(f"saved final params to {args.save}")
+                save_checkpoint(args.save,
+                                {"params": state.params,
+                                 "batch_stats": state.batch_stats})
+                print(f"saved best (prec {prec:.4f}) to {args.save}",
+                      flush=True)
+    fh.close()
 
 
 if __name__ == "__main__":
