@@ -89,6 +89,13 @@ class ModelConfig:
     # 1e-4 converges 2-3x earlier with plan differences below f32 noise
     # (throughput mode).
     sinkhorn_tol: float = 0.0
+    # Deepest cascade level to run: 3 = full sub-pixel cascade (the
+    # reference's only mode), 2 = stop after the fine level (8-px
+    # matches, one per surviving 12x12 cell), 1 = coarse-only (32-px
+    # patch matches).  Shallower modes are cheaper and let partially
+    # trained checkpoints (e.g. coarse-only) be evaluated without
+    # running random downstream levels.
+    max_level: int = 3
 
 
 @dataclass(frozen=True)

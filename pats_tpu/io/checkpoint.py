@@ -36,17 +36,31 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
 
 
 def load_matcher_checkpoint(path: str, variables: dict) -> dict:
-    """Restore a full-cascade checkpoint, or overlay a coarse-only one
-    (what tools/train_run.py --save writes) onto the given variables'
-    fine/refine levels."""
-    try:
-        return load_checkpoint(path, like=variables)
-    except Exception:                            # noqa: BLE001
-        like = {"params": variables["params"]["coarse"],
-                "batch_stats": variables["batch_stats"]["coarse"]}
-        got = load_checkpoint(path, like=like)
-        out = {"params": dict(variables["params"]),
-               "batch_stats": dict(variables["batch_stats"])}
-        out["params"]["coarse"] = got["params"]
-        out["batch_stats"]["coarse"] = got["batch_stats"]
-        return out
+    """Overlay a checkpoint onto a matcher's variable tree, level by level.
+
+    Accepts either layout:
+      - a full/partial matcher tree ({params,batch_stats} x subset of
+        {coarse,fine,refine}, what tools/assemble_ckpt.py writes), or
+      - a bare single-level tree (what tools/train_run.py --save writes),
+        assumed to be the coarse level.
+
+    Levels present in the checkpoint but absent from ``variables`` (a
+    max_level<3 model restoring a full checkpoint) are skipped; levels
+    absent from the checkpoint keep the given init.
+    """
+    import jax.numpy as jnp
+
+    got = load_checkpoint(path)
+    levels = ("coarse", "fine", "refine")
+    if not set(got["params"]) & set(levels):
+        got = {"params": {"coarse": got["params"]},
+               "batch_stats": {"coarse": got["batch_stats"]}}
+    out = {"params": dict(variables["params"]),
+           "batch_stats": dict(variables["batch_stats"])}
+    for lv in levels:
+        if lv in got["params"] and lv in out["params"]:
+            out["params"][lv] = jax.tree.map(jnp.asarray,
+                                             got["params"][lv])
+            out["batch_stats"][lv] = jax.tree.map(
+                jnp.asarray, got["batch_stats"][lv])
+    return out

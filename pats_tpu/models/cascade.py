@@ -31,7 +31,8 @@ from pats_tpu.config import ModelConfig
 from pats_tpu.models.coarse import CoarseMatcher
 from pats_tpu.models.fine import FineMatcher
 from pats_tpu.models.refine import SubpixelRefiner
-from pats_tpu.ops.compose import compose_matches
+from pats_tpu.ops.compose import (compose_matches, compose_matches_coarse,
+                                  compose_matches_fine)
 from pats_tpu.ops.extract import extract_patch_neighborhoods
 from pats_tpu.ops.resize import crop_resize_batch
 
@@ -165,6 +166,18 @@ class PATSCascade(nn.Module):
             sinkhorn_tol=cfg.sinkhorn_tol,
             dtype=dtype, name="coarse")(left, right)
 
+        assert cfg.max_level in (1, 2, 3), cfg.max_level
+        if cfg.max_level == 1:
+            matches_l, matches_r, valid = compose_matches_coarse(
+                r1["pts"], r1["alive"], gh, gw)
+            return {
+                "matches_l": matches_l, "matches_r": matches_r,
+                "valid": valid,
+                "num_coarse": jnp.sum(r1["alive"].astype(jnp.int32)),
+                "num_fine": jnp.int32(0),
+                "num_final": jnp.sum(valid.astype(jnp.int32)),
+            }
+
         left_crops, right_crops, crop_scale, center = prepare_crops(
             left, right, r1["pts"], r1["x_scale"], r1["y_scale"])
 
@@ -182,6 +195,17 @@ class PATSCascade(nn.Module):
             dtype=dtype, name="fine")(
             left_crops, right_crops, r1["desc0"], r1["alive"],
             gh, gw, self.outdoor, self.merge_new)
+
+        if cfg.max_level == 2:
+            matches_l, matches_r, valid = compose_matches_fine(
+                center, crop_scale, r2["pts"], r2["cell_alive"], gh, gw)
+            return {
+                "matches_l": matches_l, "matches_r": matches_r,
+                "valid": valid,
+                "num_coarse": jnp.sum(r1["alive"].astype(jnp.int32)),
+                "num_fine": jnp.sum(r2["cell_alive"].astype(jnp.int32)),
+                "num_final": jnp.sum(valid.astype(jnp.int32)),
+            }
 
         # ---- compact alive cells to the static level-3 capacity 16*G ----
         order, point_pid, point_cell, point_tgt, point_valid = compact_cells(
@@ -286,6 +310,20 @@ class PATSCascadeBatched(nn.Module):
             sinkhorn_tol=cfg.sinkhorn_tol,
             dtype=dtype, name="coarse")(left, right)
 
+        assert cfg.max_level in (1, 2, 3), cfg.max_level
+        if cfg.max_level == 1:
+            matches_l, matches_r, valid = jax.vmap(
+                lambda p, a: compose_matches_coarse(p, a, gh, gw))(
+                r1["pts"], r1["alive"])
+            return {
+                "matches_l": matches_l, "matches_r": matches_r,
+                "valid": valid,
+                "num_coarse": jnp.sum(r1["alive"].astype(jnp.int32),
+                                      axis=1),
+                "num_fine": jnp.zeros((B,), jnp.int32),
+                "num_final": jnp.sum(valid.astype(jnp.int32), axis=1),
+            }
+
         boxes, crop_scale, center = jax.vmap(
             lambda p, xs, ys: _subdivide(p, xs, ys, H, W))(
             r1["pts"], r1["x_scale"], r1["y_scale"])
@@ -318,6 +356,23 @@ class PATSCascadeBatched(nn.Module):
             flat(left_crops), flat(right_crops), flat(r1["desc0"]),
             flat(r1["alive"]), gh, gw, self.outdoor, self.merge_new,
             patch_pair=patch_pair, num_pairs=B)
+
+        if cfg.max_level == 2:
+            matches_l, matches_r, valid = jax.vmap(
+                lambda ce, cs, p, a: compose_matches_fine(ce, cs, p, a,
+                                                          gh, gw))(
+                center, crop_scale, r2["pts"].reshape(B, G, 144, 2),
+                r2["cell_alive"].reshape(B, G, 144))
+            return {
+                "matches_l": matches_l, "matches_r": matches_r,
+                "valid": valid,
+                "num_coarse": jnp.sum(
+                    r1["alive"].astype(jnp.int32), axis=1),
+                "num_fine": jnp.sum(
+                    r2["cell_alive"].reshape(B, -1).astype(jnp.int32),
+                    axis=1),
+                "num_final": jnp.sum(valid.astype(jnp.int32), axis=1),
+            }
 
         # ---- per-pair compaction to the static level-3 capacity 16*G ----
         K3 = 16 * G

@@ -99,3 +99,42 @@ def test_batched_cascade_matches_vmapped_single(rng):
                                    atol=2e-2)
         np.testing.assert_array_equal(np.asarray(outb["num_fine"][i]),
                                       np.asarray(outs[i]["num_fine"]))
+
+
+@pytest.mark.parametrize("max_level", [1, 2])
+def test_cascade_max_level(rng, max_level):
+    """max_level=1/2 emit coarse/fine-granularity matches; the batched
+    cascade agrees with the single-pair one in both modes."""
+    from pats_tpu.models.cascade import PATSCascadeBatched
+
+    H, W = 96, 128
+    B = 2
+    G = (H // 32) * (W // 32)
+    cfg = tiny_config(max_level=max_level)
+    single = PATSCascade(config=cfg, outdoor=True, merge_new=True)
+    batched = PATSCascadeBatched(config=cfg, outdoor=True, merge_new=True)
+
+    left = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
+    variables = single.init(jax.random.PRNGKey(0), left[0], right[0])
+    # shallower modes must not create downstream-level params
+    assert ("refine" in variables["params"]) == False
+    assert ("fine" in variables["params"]) == (max_level == 2)
+
+    n = G if max_level == 1 else G * 144
+    outs = [single.apply(variables, left[i], right[i],
+                         mutable=["batch_stats"])[0] for i in range(B)]
+    outb, _ = batched.apply(variables, left, right, mutable=["batch_stats"])
+    assert outb["matches_l"].shape == (B, n, 2)
+    for i in range(B):
+        assert outs[i]["matches_l"].shape == (n, 2)
+        np.testing.assert_array_equal(np.asarray(outb["valid"][i]),
+                                      np.asarray(outs[i]["valid"]))
+        v = np.asarray(outs[i]["valid"])
+        np.testing.assert_allclose(np.asarray(outb["matches_r"][i])[v],
+                                   np.asarray(outs[i]["matches_r"])[v],
+                                   atol=2e-2)
+        # valid left keypoints stay inside the (padded) image extent
+        ml = np.asarray(outs[i]["matches_l"])[v]
+        if ml.size:
+            assert ml[:, 0].min() >= -32 and ml[:, 0].max() < H + 32

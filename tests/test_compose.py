@@ -48,3 +48,53 @@ def test_extract_neighborhoods_alignment(rng):
     assert np.all(out[0][:32, :, :] == 0)
     assert np.all(out[0][:, :32, :] == 0)
     np.testing.assert_array_equal(out[0][32:, 32:], img[:64, :64])
+
+
+def test_compose_fine_consistent_with_subpoint_mean():
+    """compose_matches_fine's left keypoints are the mean of the 16
+    level-3 sub-point left keypoints of the same cell, and its right
+    algebra matches compose_matches when the sub-points all sit at the
+    cell's fine position (pts_cell in 8-px units == refined in 2-px/4)."""
+    from pats_tpu.ops.compose import compose_matches_fine
+
+    rng = np.random.default_rng(3)
+    gh, gw = 2, 3
+    G = gh * gw
+    center = rng.uniform(40, 200, (G, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, (G,)).astype(np.float32)
+    pts_cell = rng.uniform(0, 12, (G, 144, 2)).astype(np.float32)
+
+    ml_f, mr_f, _ = compose_matches_fine(
+        jnp.asarray(center), jnp.asarray(scale), jnp.asarray(pts_cell),
+        jnp.ones((G, 144), bool), gh, gw)
+    ml_f = np.asarray(ml_f).reshape(G, 12, 12, 2)
+    mr_f = np.asarray(mr_f).reshape(G, 12, 12, 2)
+
+    # all 16 sub-points of cell (i, j) at the cell position (2-px units)
+    refined = np.repeat(np.repeat(
+        pts_cell.reshape(G, 12, 12, 1, 1, 2) * 4.0, 4, axis=3), 4, axis=4)
+    refined = refined.transpose(0, 1, 3, 2, 4, 5).reshape(G, 48, 48, 2)
+    ml3, mr3, _ = compose_matches(
+        jnp.asarray(center), jnp.asarray(scale), jnp.asarray(refined),
+        jnp.ones((G, 48, 48), bool), gh, gw)
+    ml3 = np.asarray(ml3).reshape(G, 12, 4, 12, 4, 2)
+    mr3 = np.asarray(mr3).reshape(G, 12, 4, 12, 4, 2)
+
+    np.testing.assert_allclose(ml_f, ml3.mean(axis=(2, 4)), atol=1e-3)
+    np.testing.assert_allclose(mr_f, mr3[:, :, 0, :, 0], rtol=1e-5,
+                               atol=1e-3)
+
+
+def test_compose_coarse_identity():
+    from pats_tpu.ops.compose import compose_matches_coarse
+
+    gh, gw = 2, 3
+    G = gh * gw
+    # expected position == own patch center (identity match)
+    prow = np.arange(G) // gw + 0.5
+    pcol = np.arange(G) % gw + 0.5
+    pts = np.stack([prow, pcol], -1).astype(np.float32)
+    ml, mr, v = compose_matches_coarse(
+        jnp.asarray(pts), jnp.ones(G, bool), gh, gw)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(mr), atol=1e-5)
+    assert np.asarray(v).all()
