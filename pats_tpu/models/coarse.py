@@ -114,6 +114,7 @@ class CoarseMatcher(nn.Module):
         gnn = AttentionalGNN(D, self.gnn_layers, self.num_heads,
                              fused=self.fused_attention,
                              use_running_average=self.use_running_average,
+                             remat=not self.use_running_average,
                              dtype=self.dtype, name="gnn")
         desc0, desc1 = gnn(tokens[0], tokens[1])
 

@@ -118,6 +118,7 @@ class FineMatcher(nn.Module):
         gnn = AttentionalGNN(D, self.gnn_layers, self.num_heads,
                              fused=self.fused_attention,
                              use_running_average=self.use_running_average,
+                             remat=not self.use_running_average,
                              dtype=self.dtype, name="gnn")
         desc0, desc1 = gnn(tokens[:G], tokens[G:], patch_alive,
                            patch_pair, num_pairs)

@@ -249,6 +249,11 @@ class AttentionalGNN(nn.Module):
     fused: bool = False
     use_running_average: bool = True
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each layer's activations in the backward pass: the
+    # 18-layer GNN's saved activations dominate training HBM (the fine
+    # level OOMs a 16 GB v5e at batch 8 / 64 patches without this);
+    # numerics are identical, backward recomputes the forward per layer
+    remat: bool = False
 
     @nn.compact
     def __call__(self, desc0, desc1,
@@ -260,13 +265,25 @@ class AttentionalGNN(nn.Module):
         mask2 = None
         if mask is not None:
             mask2 = jnp.broadcast_to(mask[None], (2,) + mask.shape)
+        layer_cls = AttentionalPropagation
+        if self.remat:
+            # call args: (self=0, x=1, source=2, mask=3, group_axes=4,
+            # groups=5, num_groups=6); group_axes/num_groups are python
+            # constants, everything else is traced
+            layer_cls = nn.remat(AttentionalPropagation,
+                                 static_argnums=(4, 6))
         for i in range(self.num_layers):
             is_cross = i % 2 == 1
-            layer = AttentionalPropagation(
+            layer = layer_cls(
                 self.d_model, self.num_heads, fused=self.fused,
                 use_running_average=self.use_running_average,
                 dtype=self.dtype, name=f"layer_{i}")
             src = jnp.flip(x, axis=0) if is_cross else x
-            x = x + layer(x, src, mask2, group_axes=(0,),
-                          groups=groups, num_groups=num_groups)
+            if self.remat:
+                # positional call: lifted remat rejects kwargs; None args
+                # pass through as empty pytrees
+                x = x + layer(x, src, mask2, (0,), groups, num_groups)
+            else:
+                x = x + layer(x, src, mask2, group_axes=(0,),
+                              groups=groups, num_groups=num_groups)
         return x[0], x[1]

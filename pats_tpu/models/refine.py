@@ -204,6 +204,7 @@ class SubpixelRefiner(nn.Module):
         gnn = AttentionalGNN(D, self.gnn_layers, self.num_heads,
                              fused=self.fused_attention,
                              use_running_average=self.use_running_average,
+                             remat=not self.use_running_average,
                              dtype=self.dtype, name="gnn")
         t0, t1 = gnn(t0, t1, point_valid, point_pair, num_pairs)
 

@@ -40,6 +40,11 @@ def make_optimizer(learning_rate: float = 1e-4,
         schedule = learning_rate
     opt = (optax.adamw(schedule, weight_decay=weight_decay)
            if weight_decay else optax.adam(schedule))
-    if clip_norm is None:
-        return opt
-    return optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    if clip_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    # skip (don't apply) non-finite updates instead of poisoning the
+    # params: fully-degenerate batches (zero alive matches through a cold
+    # front-end) can produce NaN gradients via 0/0 VJPs even though the
+    # masked loss itself is finite.  A hundred degenerate batches in a row
+    # means the run is genuinely broken - then error out.
+    return optax.apply_if_finite(opt, max_consecutive_errors=100)

@@ -88,9 +88,14 @@ class RefineTrainer:
                            jnp.zeros((), jnp.int32))
         return jax.device_put(state, self.replicated)
 
-    def _pair_loss(self, params, batch_stats, coarse_vars, fine_vars,
-                   left, right, labels2):
-        """labels2: (H2*W2, 3) raw 2-px labels (x, y px, ratio)."""
+    def _pair_stats(self, params, batch_stats, coarse_vars, fine_vars,
+                    left, right, labels2):
+        """labels2: (H2*W2, 3) raw 2-px labels (x, y px, ratio).
+
+        Returns (pos_loss, rej_loss, d2, positive): the two loss terms
+        plus the un-truncated squared crop-px error and positive mask,
+        so eval_metrics can score sub-pixel precision from the same
+        geometry."""
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
         (crops, t0, t1, pid, cell, tgt, valid, alive, crop_scale,
          center) = self._points(coarse_vars, fine_vars, left, right)
@@ -125,15 +130,25 @@ class RefineTrainer:
         # GT target mapped into crop pixels (x, y)
         origin_row = center[:, 0] - 1.5 * crop_scale * 32.0
         origin_col = center[:, 1] - 1.5 * crop_scale * 32.0
-        gt_x = (raw[..., 0] - origin_col[pid][:, None]) / crop_scale[pid][:, None]
-        gt_y = (raw[..., 1] - origin_row[pid][:, None]) / crop_scale[pid][:, None]
+        # dead patches can carry crop_scale 0: clamp so the frame mapping
+        # stays finite (their cells are masked out of ``positive`` anyway)
+        safe_scale = jnp.maximum(crop_scale[pid][:, None], 1e-6)
+        gt_x = (raw[..., 0] - origin_col[pid][:, None]) / safe_scale
+        gt_y = (raw[..., 1] - origin_row[pid][:, None]) / safe_scale
         positive = ((raw[..., 0] > -0.5) & in_img & valid[:, None]
                     & (gt_x >= 0) & (gt_x < 96) & (gt_y >= 0) & (gt_y < 96))
 
-        d2 = jnp.square(mk[..., 0] - gt_x) + jnp.square(mk[..., 1] - gt_y)
-        d2 = jnp.minimum(d2, 64.0)          # truncate gross outliers
+        # zero out non-positive entries BEFORE the residual so masked
+        # entries contribute constant 0 (jnp.where after the subtraction
+        # still backprops 0 * NaN = NaN through masked garbage points)
+        gx = jnp.where(positive, gt_x, 0.0)
+        gy = jnp.where(positive, gt_y, 0.0)
+        mx = jnp.where(positive, mk[..., 0], 0.0)
+        my = jnp.where(positive, mk[..., 1], 0.0)
+        d2 = jnp.square(mx - gx) + jnp.square(my - gy)
+        d2_trunc = jnp.minimum(d2, 64.0)    # truncate gross outliers
         denom = jnp.sum(positive.astype(jnp.float32)) + 1e-6
-        pos_loss = jnp.sum(jnp.where(positive, d2, 0.0)) / denom
+        pos_loss = jnp.sum(jnp.where(positive, d2_trunc, 0.0)) / denom
 
         # dustbin supervision via the validity labels: definite negatives
         # should be rejected (valid16 False), positives kept
@@ -142,7 +157,38 @@ class RefineTrainer:
         n_neg = jnp.sum(negative.astype(jnp.float32)) + 1e-6
         rej_loss = (jnp.sum(jnp.where(negative, v16, 0.0)) / n_neg
                     + jnp.sum(jnp.where(positive, 1.0 - v16, 0.0)) / denom)
+        return pos_loss, rej_loss, d2, positive
+
+    def _pair_loss(self, params, batch_stats, coarse_vars, fine_vars,
+                   left, right, labels2):
+        pos_loss, rej_loss, _, _ = self._pair_stats(
+            params, batch_stats, coarse_vars, fine_vars, left, right,
+            labels2)
         return pos_loss + rej_loss
+
+    @partial(jax.jit, static_argnums=0)
+    def _eval(self, params, batch_stats, cv, fv, batch):
+        def one(left, right, labels2):
+            pos_loss, rej_loss, d2, positive = self._pair_stats(
+                params, batch_stats, cv, fv, left, right, labels2)
+            hit = positive & (d2 < 4.0)     # refined point within 2 crop px
+            return (pos_loss + rej_loss,
+                    jnp.sum(hit.astype(jnp.int32)),
+                    jnp.sum(positive.astype(jnp.int32)))
+
+        loss, hits, pos = jax.vmap(one)(batch["left"], batch["right"],
+                                        batch["labels2"])
+        return {"loss": jnp.mean(loss),
+                "precision": jnp.sum(hits) / jnp.maximum(jnp.sum(pos), 1),
+                "n_positive": jnp.sum(pos)}
+
+    def eval_metrics(self, state: TrainState, batch):
+        """Held-out metrics: mean loss + sub-pixel precision (fraction of
+        GT-positive sub-points refined to within 2 crop px)."""
+        batch = {k: jax.device_put(jnp.asarray(v), self.batch_sharding)
+                 for k, v in batch.items()}
+        return self._eval(state.params, state.batch_stats,
+                          self.coarse_vars, self.fine_vars, batch)
 
     def _loss_fn(self, params, batch_stats, cv, fv, batch):
         losses = jax.vmap(

@@ -42,6 +42,21 @@ def test_no_clip_passthrough():
     assert float(optax.global_norm(upd)) > 0
 
 
+def test_nonfinite_update_skipped():
+    """NaN/inf gradients (degenerate all-dead batches) must not poison
+    the params: apply_if_finite swallows the update."""
+    tx = make_optimizer(1e-2)
+    params = {"w": jnp.ones(3)}
+    opt = tx.init(params)
+    upd, opt = tx.update({"w": jnp.array([jnp.nan, 1.0, 1.0])}, opt, params)
+    new = optax.apply_updates(params, upd)
+    assert bool(jnp.all(jnp.isfinite(new["w"])))
+    assert float(jnp.abs(new["w"] - params["w"]).max()) == 0.0
+    # a finite gradient afterwards still applies
+    upd, opt = tx.update({"w": jnp.ones(3)}, opt, params)
+    assert float(optax.global_norm(upd)) > 0
+
+
 def test_dustbin_weight_schedule():
     import jax.numpy as jnp
 

@@ -45,3 +45,16 @@ def test_refine_trainer_step(rng):
         diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                             state.params, state1.params)
         assert max(jax.tree.leaves(diff)) > 0
+
+    # held-out metrics: finite loss, precision a valid fraction, and the
+    # masked-residual NaN guard holds even with zero positives
+    em = trainer.eval_metrics(state1, batch)
+    assert np.isfinite(float(em["loss"])), em
+    prec = float(em["precision"])
+    assert 0.0 <= prec <= 1.0, em
+    # a fully-degenerate batch can produce non-finite gradients via 0/0
+    # VJPs; the optimizer must skip those updates, so params stay finite
+    # regardless of what grad_norm reports
+    finite = jax.tree.map(lambda a: bool(jnp.all(jnp.isfinite(a))),
+                          state1.params)
+    assert all(jax.tree.leaves(finite)), "non-finite params after step"

@@ -91,6 +91,18 @@ def coarse_precision(model, params, batch_stats, pairs, rng_key,
     return (n_ok / max(n_alive, 1)), n_alive, diag
 
 
+def _maybe_overlay(variables, ckpt_path):
+    """Overlay an orbax single-level checkpoint onto a variables tree."""
+    if not ckpt_path:
+        return variables
+    from pats_tpu.io.checkpoint import load_checkpoint
+
+    got = load_checkpoint(ckpt_path, like={
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"]})
+    return {"params": got["params"], "batch_stats": got["batch_stats"]}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -109,12 +121,15 @@ def main():
     ap.add_argument("--save", default=None,
                     help="orbax checkpoint dir for the final params")
     ap.add_argument("--level", default="coarse",
-                    choices=("coarse", "fine"),
-                    help="which cascade level to train (fine trains "
-                         "through a frozen coarse level)")
+                    choices=("coarse", "fine", "refine"),
+                    help="which cascade level to train (fine/refine train "
+                         "through frozen upstream levels)")
     ap.add_argument("--init-coarse", default=None,
                     help="orbax coarse checkpoint to freeze under "
-                         "--level fine (default: random coarse)")
+                         "--level fine/refine (default: random coarse)")
+    ap.add_argument("--init-fine", default=None,
+                    help="orbax fine checkpoint to freeze under "
+                         "--level refine (default: random fine)")
     ap.add_argument("--train-images", type=int, default=32,
                     help="size of the procedural texture pool (small pools "
                          "overfit: held-out precision decays while train "
@@ -145,7 +160,7 @@ def main():
     key = jax.random.PRNGKey(0)
     import jax.numpy as jnp
 
-    level = 0 if args.level == "coarse" else 1
+    level = {"coarse": 0, "fine": 1, "refine": 2}[args.level]
     if args.level == "coarse":
         trainer = CoarseTrainer(cfg, mesh, learning_rate=args.lr,
                                 total_steps=args.steps,
@@ -154,7 +169,7 @@ def main():
                                 dustbin_final=args.dustbin_final)
         state = trainer.init(key, jnp.zeros((H, W, 3)),
                              jnp.zeros((H, W, 3)))
-    else:
+    elif args.level == "fine":
         from pats_tpu.train.fine_trainer import FineTrainer
 
         trainer = FineTrainer(cfg, mesh, learning_rate=args.lr,
@@ -163,15 +178,23 @@ def main():
                               clip_norm=args.clip)
         zero = jnp.zeros((H, W, 3))
         coarse_vars = jax.jit(trainer.coarse.init)(key, zero, zero)
-        if args.init_coarse:
-            from pats_tpu.io.checkpoint import load_checkpoint
-
-            got = load_checkpoint(args.init_coarse, like={
-                "params": coarse_vars["params"],
-                "batch_stats": coarse_vars["batch_stats"]})
-            coarse_vars = {"params": got["params"],
-                           "batch_stats": got["batch_stats"]}
+        coarse_vars = _maybe_overlay(coarse_vars, args.init_coarse)
         state = trainer.init(key, coarse_vars, zero, zero)
+    else:
+        from pats_tpu.train.refine_trainer import RefineTrainer
+
+        trainer = RefineTrainer(cfg, mesh, learning_rate=args.lr,
+                                total_steps=args.steps,
+                                warmup_steps=args.warmup,
+                                clip_norm=args.clip)
+        zero = jnp.zeros((H, W, 3))
+        coarse_vars = jax.jit(trainer.front.coarse.init)(key, zero, zero)
+        coarse_vars = _maybe_overlay(coarse_vars, args.init_coarse)
+        fine_state = trainer.front.init(key, coarse_vars, zero, zero)
+        fine_vars = _maybe_overlay(
+            {"params": fine_state.params,
+             "batch_stats": fine_state.batch_stats}, args.init_fine)
+        state = trainer.init(key, coarse_vars, fine_vars, zero, zero)
 
     rng = np.random.default_rng(0)
     train_imgs = textured_images(rng, args.train_images, H, W)
@@ -180,11 +203,12 @@ def main():
     warp_kw = dict(max_rotation=0.1, max_scale=0.1, max_translation=0.05)
     hold_pairs = [warp_pair(im, hold_rng, level=level, **warp_kw)
                   for im in hold_imgs]
-    if args.level == "fine":
+    if args.level in ("fine", "refine"):
+        lkey = "labels8" if args.level == "fine" else "labels2"
         hold_batch = {
             "left": np.stack([p["left"] for p in hold_pairs]),
             "right": np.stack([p["right"] for p in hold_pairs]),
-            "labels8": np.stack([p["labels_raw"] for p in hold_pairs]),
+            lkey: np.stack([p["labels_raw"] for p in hold_pairs]),
         }
 
     it = synthetic_batches(train_imgs, batch_size=args.batch, level=level,
@@ -207,8 +231,9 @@ def main():
             state, m = trainer.step(state, jax.random.fold_in(key, step),
                                     batch)
         else:
+            lkey = "labels8" if args.level == "fine" else "labels2"
             batch = {"left": batch["left"], "right": batch["right"],
-                     "labels8": batch["labels_raw"]}
+                     lkey: batch["labels_raw"]}
             state, m = trainer.step(state, batch)
         hb.beat(step)
         if step % args.eval_every == 0 or step == args.steps - 1:
