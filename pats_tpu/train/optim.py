@@ -45,6 +45,19 @@ def make_optimizer(learning_rate: float = 1e-4,
     # skip (don't apply) non-finite updates instead of poisoning the
     # params: fully-degenerate batches (zero alive matches through a cold
     # front-end) can produce NaN gradients via 0/0 VJPs even though the
-    # masked loss itself is finite.  A hundred degenerate batches in a row
-    # means the run is genuinely broken - then error out.
+    # masked loss itself is finite.  NOTE optax semantics: after
+    # max_consecutive_errors consecutive non-finite updates apply_if_finite
+    # GIVES UP and applies the (NaN) update anyway — it does not raise.
+    # Callers must watch ``notfinite_count`` (below) and abort the run
+    # before that happens; tools/train_run.py does.
     return optax.apply_if_finite(opt, max_consecutive_errors=100)
+
+
+def notfinite_count(opt_state) -> int:
+    """Consecutive non-finite update count of an apply_if_finite state.
+
+    Returns 0 for optimizer states not wrapped by apply_if_finite (or
+    after jax transforms that re-wrap the state), so callers can always
+    threshold on it.
+    """
+    return getattr(opt_state, "notfinite_count", 0)

@@ -248,10 +248,26 @@ def main():
                 em = trainer.eval_metrics(state, hold_batch)
                 prec = float(np.asarray(em["precision"]))
                 n_alive = int(np.asarray(em["n_positive"]))
+            # abort before optax.apply_if_finite gives up and applies a
+            # NaN update (see pats_tpu/train/optim.py notfinite_count)
+            from pats_tpu.train.optim import notfinite_count
+
+            nf = int(np.asarray(notfinite_count(state.opt_state)))
+            if nf >= 50:
+                raise RuntimeError(
+                    f"{nf} consecutive non-finite updates at step {step}; "
+                    "aborting before apply_if_finite poisons the params")
+            # metric-key semantics differ per level: coarse counts alive
+            # cells (n_alive, precision = <16 image px); fine/refine count
+            # GT-positive sub-cells (n_positive, precision = <1 target
+            # grid cell, i.e. 8*crop_scale px fine / 2 px refine)
+            count_key = "n_alive" if args.level == "coarse" else "n_positive"
             rec = {"step": step, "loss": round(loss, 4),
                    "grad_norm": round(gnorm, 2),
-                   "precision": round(prec, 4), "n_alive": n_alive,
+                   "precision": round(prec, 4), count_key: n_alive,
                    "t_s": round(time.time() - t0, 1), **diag}
+            if nf:
+                rec["notfinite_count"] = nf
             print(json.dumps(rec), flush=True)
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
