@@ -225,7 +225,12 @@ class PATSCascade(nn.Module):
             use_running_average=not cfg.refine_batch_stats,
             dtype=dtype, name="refine")(
             left_crops, right_crops, r2["tokens0"], r2["tokens1"],
-            point_pid, point_cell, point_tgt, point_valid, r1["alive"])
+            point_pid, point_cell, point_tgt, point_valid,
+            # level-3 batch statistics run over patches SURVIVING level 2
+            # (the reference filters with if_ndelete before third_layer,
+            # pats.py:40-56) — coarse-alive would add dead patches to the
+            # BN batch and drift every feature (round-3 indoor parity bug)
+            r1["alive"] & jnp.any(r2["cell_alive"], axis=-1))
 
         matches_l, matches_r, valid = finish_matches(
             r3["mkpts1"], r3["valid16"], point_valid, order, center,
@@ -409,7 +414,10 @@ class PATSCascadeBatched(nn.Module):
             dtype=dtype, name="refine")(
             flat(left_crops), flat(right_crops), r2["tokens0"],
             r2["tokens1"], point_pid, point_cell, point_tgt, point_valid,
-            flat(r1["alive"]), patch_pair=patch_pair,
+            # post-level-2 kept mask (reference if_ndelete, pats.py:40-56)
+            flat(r1["alive"]) & jnp.any(cell_alive.reshape(B * G, 144),
+                                        axis=-1),
+            patch_pair=patch_pair,
             point_pair=point_pair, num_pairs=B)
 
         if self.outdoor:

@@ -106,7 +106,9 @@ def match_pair_fully_sharded(variables, left: jnp.ndarray,
             dtype=dtype).apply(
             sub("refine"), sh(left_crops), sh(right_crops),
             r2["tokens0"], r2["tokens1"], sh(point_pid), sh(point_cell),
-            sh(point_tgt), sh(point_valid), sh(r1["alive"]),
+            sh(point_tgt), sh(point_valid),
+            # post-level-2 kept mask (reference if_ndelete, pats.py:40-56)
+            sh(r1["alive"] & jnp.any(r2["cell_alive"], axis=-1)),
             mutable=["batch_stats"])
 
         return finish_matches(r3["mkpts1"], r3["valid16"], point_valid,

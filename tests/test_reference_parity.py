@@ -131,11 +131,19 @@ def _ref_boxes(result_first, gh, gw, m=128.0):
     return b.long().numpy()
 
 
-def test_full_cascade_parity(ref):
+@pytest.mark.parametrize("outdoor,merge_new", [(True, True), (False, False)],
+                         ids=["outdoor", "indoor"])
+def test_full_cascade_parity(ref, outdoor, merge_new):
     """PATSCascade == reference PATS.forward (models/pats.py:18-85) with
     shared random weights: >=95% of reference matches from slots whose
     integer crop boxes agree have a counterpart within 0.5 px jointly in
     both images (VERDICT round-1 gate).
+
+    The indoor parametrization (if_outdoor=False, merge_new=False, the
+    ScanNet configuration) composes the quirks that were previously only
+    component-tested: merge_patches_old (second_layer.py:137-238), the
+    +log3 dustbin bonus (second_layer.py:104-122), and the subpoint-keep
+    rule {5,7,13,15} (third_layer.py:162-166).
 
     Box-level agreement is asserted separately at >=85% of slots: the crop
     bounds pass through ``floor`` (utils/utils.py:1370), and when a bound
@@ -153,8 +161,8 @@ def test_full_cascade_parity(ref):
     from pats_tpu.models.cascade import _subdivide
     from pats_tpu.models.coarse import CoarseMatcher
 
-    rcfg = _types.SimpleNamespace(if_local=False, if_outdoor=True,
-                                  merge_new=True)
+    rcfg = _types.SimpleNamespace(if_local=False, if_outdoor=outdoor,
+                                  merge_new=merge_new)
     torch.manual_seed(0)
     model = ref.pats.PATS(rcfg)
     randomize_bn_stats(model.first_layer, seed=1)
@@ -185,7 +193,11 @@ def test_full_cascade_parity(ref):
                         "fine": f["batch_stats"],
                         "refine": r["batch_stats"]}})
 
-    matcher = Matcher(PATSConfig(), variables=variables)
+    from pats_tpu.config import load_config
+
+    cfg = load_config(None, {"eval": {"if_outdoor": outdoor,
+                                      "merge_new": merge_new}})
+    matcher = Matcher(cfg, variables=variables)
     got_ml, got_mr = matcher.match(img0.numpy(), img1.numpy())
     assert got_ml.shape[0] > 200, "degenerate cascade output"
 
