@@ -39,6 +39,21 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
+def _bf16_peak_flops(device) -> float:
+    """Per-chip bf16 matmul peak (FLOP/s) for MFU accounting.
+
+    v5e ("v5 lite"): 197 TFLOP/s bf16 (public TPU spec); v4: 275; v5p: 459;
+    v6e (trillium): 918.  Returns 0 for unknown/CPU devices (MFU omitted).
+    """
+    kind = getattr(device, "device_kind", "").lower()
+    table = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+             "v5p": 459e12, "v6": 918e12, "trillium": 918e12}
+    for key, peak in table.items():
+        if key in kind:
+            return peak
+    return 0.0
+
+
 def main():
     from pats_tpu.config import ModelConfig
     from pats_tpu.models.cascade import PATSCascade, PATSCascadeBatched
@@ -88,6 +103,30 @@ def main():
     elapsed = chained(ITERS)
     pairs_per_s = ITERS * BATCH / elapsed
 
+    # ---- MFU accounting (round-3 verdict item 3) ----
+    # Algorithmic FLOPs from XLA's cost analysis of the PURE-XLA graph
+    # (fused Pallas kernels are opaque custom calls, so the count is taken
+    # with them disabled; the algorithm is identical).  MFU is reported
+    # against the device's bf16 matmul peak.
+    flops_per_pair = mfu = None
+    try:
+        xmc = dataclasses.replace(mc, use_pallas_sinkhorn=False,
+                                  use_fused_attention=False)
+        xmodel = PATSCascadeBatched(config=xmc, outdoor=True, merge_new=True)
+        lowered = jax.jit(
+            lambda v, l, r: xmodel.apply(v, l, r,
+                                         mutable=["batch_stats"])[0]
+        ).lower(variables, left, right)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_pair = float(ca["flops"]) / BATCH
+        peak = _bf16_peak_flops(jax.devices()[0])
+        if peak:
+            mfu = pairs_per_s * flops_per_pair / peak
+    except Exception as e:      # noqa: BLE001 - accounting must not break CI
+        print(f"# mfu accounting unavailable: {e!r}")
+
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)["value"]
@@ -109,6 +148,12 @@ def main():
         "init_s": round(init_s, 1),
         "device": str(jax.devices()[0]),
     }
+    if flops_per_pair is not None:
+        result["tflop_per_pair"] = round(flops_per_pair / 1e12, 3)
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+    if tol:
+        result["sinkhorn_tol"] = tol
     print(json.dumps(result))
 
 

@@ -58,10 +58,20 @@ class FineTrainer:
     def __init__(self, cfg: PATSConfig, mesh: Mesh,
                  learning_rate: float = 1e-4, outdoor: bool = True,
                  total_steps: int = None, warmup_steps: int = 0,
-                 clip_norm: float = 1.0):
+                 clip_norm: float = 1.0, position_weight: float = 5.0,
+                 nll_all_positives: bool = False,
+                 aniso_labels: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         self.outdoor = outdoor
+        self.position_weight = position_weight
+        self.nll_all_positives = nll_all_positives
+        # map GT labels through the crop box's TRUE per-axis geometry
+        # (the isotropic row-derived scale is the reference's composition
+        # quirk; when the frozen coarse predicts x_scale != y_scale the
+        # isotropic mapping displaces the column target by |x/y-1| *
+        # cells-from-origin, blurring the training signal)
+        self.aniso_labels = aniso_labels
         c = cfg.model.coarse
         self.coarse = CoarseMatcher(
             descriptor_dim=c.descriptor_dim, gnn_layers=c.gnn_layers,
@@ -117,7 +127,7 @@ class FineTrainer:
         right_crops = crop_resize_batch(right_pad, boxes, out_size=96)
         left_crops = extract_patch_neighborhoods(left, patch=32)
         return ((left_crops, right_crops), out["desc0"], out["alive"],
-                crop_scale, center)
+                crop_scale, center, boxes)
 
     def _pair_forward(self, params, batch_stats, coarse_variables,
                       left, right, labels8):
@@ -125,7 +135,7 @@ class FineTrainer:
 
         labels8: (H8*W8, 3) raw depth labels at 8-px granularity."""
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
-        crops, desc, alive, crop_scale, center = self._front(
+        crops, desc, alive, crop_scale, center, boxes = self._front(
             coarse_variables, left, right)
         out, _ = self.fine.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -136,11 +146,22 @@ class FineTrainer:
         raw = labels8[jnp.clip(src, 0, labels8.shape[0] - 1)]  # (G, 144, 3)
         in_img = src >= 0
         # map GT pixel targets into each crop's 12-grid frame
-        origin_row = center[:, 0] - 1.5 * crop_scale * 32.0
-        origin_col = center[:, 1] - 1.5 * crop_scale * 32.0
-        cell_px = crop_scale * 8.0
-        gt_row = (raw[..., 1] - origin_row[:, None]) / cell_px[:, None]
-        gt_col = (raw[..., 0] - origin_col[:, None]) / cell_px[:, None]
+        if self.aniso_labels:
+            # true per-axis crop geometry: cells of the resampled 96-crop
+            # along axis a sit at box_lo_a + (cell + 0.5) * span_a / 12
+            bf = boxes.astype(jnp.float32)
+            origin_row = bf[:, 0] - _MARGIN
+            origin_col = bf[:, 2] - _MARGIN
+            cell_row_px = (bf[:, 1] - bf[:, 0] + 1.0) / 12.0
+            cell_col_px = (bf[:, 3] - bf[:, 2] + 1.0) / 12.0
+        else:
+            # the reference's composition frame (row-derived scale on both
+            # axes, models/pats.py:74 / ops/compose.py)
+            origin_row = center[:, 0] - 1.5 * crop_scale * 32.0
+            origin_col = center[:, 1] - 1.5 * crop_scale * 32.0
+            cell_row_px = cell_col_px = crop_scale * 8.0
+        gt_row = (raw[..., 1] - origin_row[:, None]) / cell_row_px[:, None]
+        gt_col = (raw[..., 0] - origin_col[:, None]) / cell_col_px[:, None]
         inside = ((gt_row >= 0) & (gt_row < 12)
                   & (gt_col >= 0) & (gt_col < 12))
         positive = (raw[..., 0] > -0.5) & in_img & inside & alive[:, None]
@@ -163,7 +184,9 @@ class FineTrainer:
         out, res, labels = self._pair_forward(
             params, batch_stats, coarse_variables, left, right, labels8)
         return (transport_level_loss(out["plan"], res, labels, 12, 12,
-                                     dustbin_mismatch_weight=dustbin_w)
+                                     weight_position=self.position_weight,
+                                     dustbin_mismatch_weight=dustbin_w,
+                                     nll_all_positives=self.nll_all_positives)
                 + scale_anchor_loss(out["scales_head"], labels, 12, 12))
 
     @partial(jax.jit, static_argnums=0)
@@ -180,13 +203,24 @@ class FineTrainer:
             pos = labels.gt_class > 0
             matched = jnp.logical_not(res.if_nomatching)
             hit = pos & matched & (err < 1.0)
-            return (loss, jnp.sum(hit.astype(jnp.int32)),
-                    jnp.sum(pos.astype(jnp.int32)))
+            # transport argmax diagnostics (incl. dustbin column)
+            amax = jnp.argmax(out["plan"][:, :-1, :], axis=2)     # (G,144)
+            is_db = amax == 144
+            ar = (amax // 12).astype(jnp.float32)
+            ac = (amax % 12).astype(jnp.float32)
+            cheb = jnp.maximum(jnp.abs(ar - jnp.floor(labels.gt_pos[..., 0])),
+                               jnp.abs(ac - jnp.floor(labels.gt_pos[..., 1])))
+            near = pos & jnp.logical_not(is_db) & (cheb <= 1.0)
+            i32 = lambda m: jnp.sum(m.astype(jnp.int32))  # noqa: E731
+            return (loss, i32(hit), i32(pos), i32(near), i32(pos & is_db))
 
-        loss, hits, pos = jax.vmap(one)(batch["left"], batch["right"],
-                                        batch["labels8"])
+        loss, hits, pos, near, db = jax.vmap(one)(
+            batch["left"], batch["right"], batch["labels8"])
+        npos = jnp.maximum(jnp.sum(pos), 1)
         return {"loss": jnp.mean(loss),
-                "precision": jnp.sum(hits) / jnp.maximum(jnp.sum(pos), 1),
+                "precision": jnp.sum(hits) / npos,
+                "argmax_near": jnp.sum(near) / npos,
+                "dustbin_frac": jnp.sum(db) / npos,
                 "n_positive": jnp.sum(pos)}
 
     def _loss_fn(self, params, batch_stats, coarse_variables, dustbin_w,

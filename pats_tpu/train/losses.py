@@ -40,8 +40,15 @@ class LevelLabels(NamedTuple):
 
 
 def matching_nll(plan: jnp.ndarray, labels: LevelLabels, height: int,
-                 width: int) -> jnp.ndarray:
-    """-log transport score of the GT cell where the argmax is wrong."""
+                 width: int, all_positives: bool = False) -> jnp.ndarray:
+    """-log transport score of the GT cell where the argmax is wrong.
+
+    ``all_positives=True`` applies the NLL to EVERY positive (the
+    SuperGlue-style loss) instead of only wrong-argmax positives (the
+    reference's loss_function_matches, utils.py:1438-1448).  The
+    wrong-only gate starves the gradient once a cell's argmax is right
+    but its score is barely above the runner-up; fine-level training
+    from scratch needs the denser signal (round-3 A/B)."""
     B, M1, N1 = plan.shape
     M, N = M1 - 1, N1 - 1
     positive = labels.gt_class > 0
@@ -51,7 +58,7 @@ def matching_nll(plan: jnp.ndarray, labels: LevelLabels, height: int,
     max0 = jnp.argmax(plan[:, :-1, :-1], axis=2)
     gt_score = jnp.take_along_axis(plan[:, :-1, :], cell[..., None],
                                    axis=2)[..., 0]
-    wrong = positive & (max0 != cell)
+    wrong = positive if all_positives else (positive & (max0 != cell))
     denom = jnp.sum(positive.astype(jnp.float32)) + 1e-7
     return jnp.sum(jnp.where(wrong, -gt_score, 0.0)) / denom
 
@@ -195,9 +202,11 @@ def sampson_epipolar(F: jnp.ndarray, src_pts: jnp.ndarray,
 def transport_level_loss(plan: jnp.ndarray, res: ExpandResult,
                          labels: LevelLabels, height: int, width: int,
                          weight_position: float = 5.0,
-                         dustbin_mismatch_weight=5.0) -> jnp.ndarray:
+                         dustbin_mismatch_weight=5.0,
+                         nll_all_positives: bool = False) -> jnp.ndarray:
     """Combined per-level loss ('distance' recipe, utils.py:1562-1591)."""
-    return (matching_nll(plan, labels, height, width)
+    return (matching_nll(plan, labels, height, width,
+                         all_positives=nll_all_positives)
             + position_loss(res, plan, labels, height, width, weight_position)
             + dustbin_losses(plan, res, labels,
                              mismatch_weight=dustbin_mismatch_weight)

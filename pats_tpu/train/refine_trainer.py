@@ -51,7 +51,7 @@ class RefineTrainer:
         """Frozen front-end -> refiner inputs + crop geometry."""
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
         G = gh * gw
-        crops, desc, alive, crop_scale, center = self.front._front(
+        crops, desc, alive, crop_scale, center, _boxes = self.front._front(
             coarse_vars, left, right)
         out, _ = self.front.fine.apply(
             fine_vars, crops[0], crops[1], desc, alive, gh, gw,

@@ -134,6 +134,17 @@ def main():
                     help="size of the procedural texture pool (small pools "
                          "overfit: held-out precision decays while train "
                          "loss plateaus)")
+    ap.add_argument("--fine-pos-weight", type=float, default=5.0,
+                    help="position-loss weight for --level fine (round-3 "
+                         "diagnosis: at 5.0 its gradient swamps the "
+                         "matching NLL 23:1 and the transport never "
+                         "learns)")
+    ap.add_argument("--fine-nll-all", action="store_true",
+                    help="fine-level NLL over ALL positives (SuperGlue "
+                         "style) instead of wrong-argmax only")
+    ap.add_argument("--fine-aniso", action="store_true",
+                    help="map fine labels through the true per-axis crop "
+                         "geometry instead of the isotropic row scale")
     ap.add_argument("--dustbin-final", type=float, default=1.0,
                     help="annealed end value of the anti-collapse dustbin "
                          "weight (5.0 = no anneal)")
@@ -175,7 +186,10 @@ def main():
         trainer = FineTrainer(cfg, mesh, learning_rate=args.lr,
                               total_steps=args.steps,
                               warmup_steps=args.warmup,
-                              clip_norm=args.clip)
+                              clip_norm=args.clip,
+                              position_weight=args.fine_pos_weight,
+                              nll_all_positives=args.fine_nll_all,
+                              aniso_labels=args.fine_aniso)
         zero = jnp.zeros((H, W, 3))
         coarse_vars = jax.jit(trainer.coarse.init)(key, zero, zero)
         coarse_vars = _maybe_overlay(coarse_vars, args.init_coarse)
@@ -248,6 +262,9 @@ def main():
                 em = trainer.eval_metrics(state, hold_batch)
                 prec = float(np.asarray(em["precision"]))
                 n_alive = int(np.asarray(em["n_positive"]))
+                for k in ("argmax_near", "dustbin_frac"):
+                    if k in em:
+                        diag[k] = round(float(np.asarray(em[k])), 4)
             # abort before optax.apply_if_finite gives up and applies a
             # NaN update (see pats_tpu/train/optim.py notfinite_count)
             from pats_tpu.train.optim import notfinite_count
