@@ -68,6 +68,7 @@ class Batcher:
         self.quantum = quantum
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.buckets_seen = set()
+        self.warm_buckets = set()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -130,8 +131,26 @@ class Batcher:
     def _run(self, ims0, ims1):
         m = self.matcher
         if hasattr(m, "match_batch"):            # ShardedMatcher
-            return m.match_batch(ims0, ims1, batch_size=len(ims0))
+            # no batch_size override: partial flushes pad up to the
+            # construction batch internally, so every bucket reuses ONE
+            # compiled executable (a per-size override would compile one
+            # executable per observed batch size)
+            return m.match_batch(ims0, ims1)
         return [m.match(a, b) for a, b in zip(ims0, ims1)]
+
+    def warm(self, buckets) -> dict:
+        """Pre-compile the per-bucket executables at startup (round-3
+        verdict item 9: first-request latency was ~2 min on TPU because
+        serve compiled lazily).  Returns {bucket: seconds}."""
+        times = {}
+        for (h, w) in buckets:
+            t0 = time.time()
+            zero = np.zeros((h, w, 3), np.float32)
+            self._run([zero], [zero])
+            self.buckets_seen.add((h, w))
+            times[(h, w)] = round(time.time() - t0, 1)
+            self.warm_buckets.add((h, w))
+        return times
 
     @staticmethod
     def _flush_error(reqs, err):
@@ -164,6 +183,7 @@ def make_server(batcher: Batcher, host: str = "127.0.0.1", port: int = 8008):
                 "platform": jax.devices()[0].platform,
                 "devices": len(jax.devices()),
                 "buckets": sorted(list(batcher.buckets_seen)),
+                "warm_buckets": sorted(list(batcher.warm_buckets)),
                 "queue_depth": batcher.queue.qsize(),
             }
             self._send(200, json.dumps(info).encode(), "application/json")
@@ -199,6 +219,10 @@ def main(argv=None):
     ap.add_argument("--torch-checkpoints", nargs=3, default=None)
     ap.add_argument("--platform", default=None,
                     choices=("cpu", "tpu", "axon"))
+    ap.add_argument("--warm-buckets", default="480x640",
+                    help="comma-separated HxW buckets to pre-compile at "
+                         "startup (default the 640x480 protocol shape; "
+                         "pass '' to skip and compile lazily)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -237,6 +261,11 @@ def main(argv=None):
         runner = matcher
 
     batcher = Batcher(runner, args.max_batch, args.max_wait_ms)
+    warm = [tuple(int(x) for x in b.split("x"))
+            for b in args.warm_buckets.split(",") if b]
+    if warm:
+        times = batcher.warm(warm)
+        print(f"warm-start compiled {times}", flush=True)
     server = make_server(batcher, args.host, args.port)
     print(f"serving on {args.host}:{args.port}", flush=True)
     try:
