@@ -214,8 +214,13 @@ class FineTrainer:
             i32 = lambda m: jnp.sum(m.astype(jnp.int32))  # noqa: E731
             return (loss, i32(hit), i32(pos), i32(near), i32(pos & is_db))
 
-        loss, hits, pos, near, db = jax.vmap(one)(
-            batch["left"], batch["right"], batch["labels8"])
+        # lax.map, not vmap: held-out pairs evaluate SEQUENTIALLY on
+        # device, so eval memory is one pair's activations instead of the
+        # whole held-out set's (the 8-pair vmapped eval forward OOMed the
+        # 16G chip at 25.1G once the round-3 diagnostics shifted fusion)
+        loss, hits, pos, near, db = jax.lax.map(
+            lambda t: one(*t),
+            (batch["left"], batch["right"], batch["labels8"]))
         npos = jnp.maximum(jnp.sum(pos), 1)
         return {"loss": jnp.mean(loss),
                 "precision": jnp.sum(hits) / npos,

@@ -176,8 +176,11 @@ class RefineTrainer:
                     jnp.sum(hit.astype(jnp.int32)),
                     jnp.sum(positive.astype(jnp.int32)))
 
-        loss, hits, pos = jax.vmap(one)(batch["left"], batch["right"],
-                                        batch["labels2"])
+        # lax.map: sequential per-pair eval bounds memory to one pair's
+        # activations (see fine_trainer.eval_metrics)
+        loss, hits, pos = jax.lax.map(
+            lambda t: one(*t),
+            (batch["left"], batch["right"], batch["labels2"]))
         return {"loss": jnp.mean(loss),
                 "precision": jnp.sum(hits) / jnp.maximum(jnp.sum(pos), 1),
                 "n_positive": jnp.sum(pos)}
