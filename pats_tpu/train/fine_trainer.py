@@ -60,7 +60,7 @@ class FineTrainer:
                  total_steps: int = None, warmup_steps: int = 0,
                  clip_norm: float = 1.0, position_weight: float = 5.0,
                  nll_all_positives: bool = False,
-                 aniso_labels: bool = False):
+                 aniso_labels: bool = False, microbatch: int = 2):
         self.cfg = cfg
         self.mesh = mesh
         self.outdoor = outdoor
@@ -72,6 +72,9 @@ class FineTrainer:
         # isotropic mapping displaces the column target by |x/y-1| *
         # cells-from-origin, blurring the training signal)
         self.aniso_labels = aniso_labels
+        # microbatch must divide the per-shard batch when the mesh data
+        # axis is >1 (the scan chunk axis is unsharded)
+        self.microbatch = microbatch
         c = cfg.model.coarse
         self.coarse = CoarseMatcher(
             descriptor_dim=c.descriptor_dim, gnn_layers=c.gnn_layers,
@@ -240,9 +243,30 @@ class FineTrainer:
     def _step(self, state: TrainState, coarse_variables, batch
               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dustbin_w = dustbin_weight_schedule(state.step)
-        loss, grads = jax.value_and_grad(self._loss_fn)(
-            state.params, state.batch_stats, coarse_variables, dustbin_w,
-            batch)
+        # gradient micro-batching: lax.scan over microbatches bounds the
+        # live activation set to `microbatch` pairs' backward instead of
+        # the whole batch (the 8-pair fine backward stopped fitting the
+        # 16G chip at 25.1G when the compile service was refreshed in
+        # round 3); the accumulated gradient is identical to the full
+        # batch's up to summation order
+        B = batch["left"].shape[0]
+        mb = min(self.microbatch, B)
+        n = B // mb
+        chunked = {k: v[:n * mb].reshape((n, mb) + v.shape[1:])
+                   for k, v in batch.items()}
+
+        def body(carry, chunk):
+            gsum, lsum = carry
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                state.params, state.batch_stats, coarse_variables,
+                dustbin_w, chunk)
+            return (jax.tree.map(jnp.add, gsum, grads), lsum + loss), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.float32(0.0)),
+                                       chunked)
+        grads = jax.tree.map(lambda g: g / n, gsum)
+        loss = lsum / n
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
