@@ -197,3 +197,128 @@ class SyntheticPlanePairs:
                                      False) >= 0 for u, v in uv])
             ok &= ~(inside & (world[:, 2] == 0.0))
         return kp0[ok], kp1[ok]
+
+
+def _in_convex_quad(pts: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """Vectorized point-in-convex-quad test (consistent-side sign)."""
+    sign = None
+    inside = np.ones(pts.shape[0], bool)
+    s = np.zeros(pts.shape[0])
+    for i in range(4):
+        a, b = quad[i], quad[(i + 1) % 4]
+        cross = ((b[0] - a[0]) * (pts[:, 1] - a[1])
+                 - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+        if sign is None:
+            sign = np.sign(cross)
+            sign[sign == 0] = 1.0
+        inside &= cross * sign >= 0
+    return inside
+
+
+class SyntheticPlaneLabels:
+    """Exact per-patch GT labels for a SyntheticPlanePairs item.
+
+    The scene is analytic (two textured planes), so view0->view1
+    correspondences of patch centers are exact plane-homography
+    transfers with occlusion/coverage handling — the in-domain
+    equivalent of the MegaDepth depth-reprojection labels
+    (reference datasets/megadepth.py:12-96), feeding the same trainers.
+
+    Label convention (pats_tpu.train.labels):
+      [x1, y1, 1.0]  positive (target pixel in view 1)
+      [-1e7, ...]    definite negative (target leaves view 1)
+      [-1, -1, -1]   unknown (background pixel / occluded in view 1)
+    """
+
+    def __init__(self, ds: SyntheticPlanePairs, idx: int):
+        (R0, t0), (R1, t1) = ds.poses(idx)
+        self.wh = ds.wh
+        ts = ds.tex_size
+        self.H0f = plane_homography(ds.K, R0, t0, ts, ds.plane_scale, 0.0)
+        self.H1f = plane_homography(ds.K, R1, t1, ts, ds.plane_scale, 0.0)
+        self.H0n = plane_homography(ds.K, R0, t0, ts // 2, ds.near_scale,
+                                    ds.z_near)
+        self.H1n = plane_homography(ds.K, R1, t1, ts // 2, ds.near_scale,
+                                    ds.z_near)
+        corners = np.array([[0, 0, 1], [ts // 2, 0, 1],
+                            [ts // 2, ts // 2, 1], [0, ts // 2, 1]], float)
+        q0 = corners @ self.H0n.T
+        self.near_quad0 = q0[:, :2] / q0[:, 2:3]
+        q1 = corners @ self.H1n.T
+        self.near_quad1 = q1[:, :2] / q1[:, 2:3]
+        self.tex_size = ts
+
+    @staticmethod
+    def _apply(H: np.ndarray, pts: np.ndarray) -> np.ndarray:
+        p = np.concatenate([pts, np.ones((pts.shape[0], 1))], axis=1) @ H.T
+        return p[:, :2] / p[:, 2:3]
+
+    def transfer(self, pts_xy: np.ndarray):
+        """(N, 2) view-0 (x, y) px -> (labels (N, 3)) raw-label rows."""
+        w, h = self.wh
+        on_near = _in_convex_quad(pts_xy, self.near_quad0)
+        # texture coordinates on the far plane (image -> texture)
+        tex_f = self._apply(np.linalg.inv(self.H0f), pts_xy)
+        covered = ((tex_f[:, 0] >= 0) & (tex_f[:, 0] < self.tex_size)
+                   & (tex_f[:, 1] >= 0) & (tex_f[:, 1] < self.tex_size))
+        x1_far = self._apply(self.H1f @ np.linalg.inv(self.H0f), pts_xy)
+        x1_near = self._apply(self.H1n @ np.linalg.inv(self.H0n), pts_xy)
+        x1 = np.where(on_near[:, None], x1_near, x1_far)
+
+        label = np.concatenate([x1, np.ones((x1.shape[0], 1))], axis=1)
+        # far points hidden behind the near patch in view 1: unknown
+        occluded = (~on_near) & _in_convex_quad(x1, self.near_quad1)
+        label[occluded] = -1.0
+        # background (neither plane covers the view-0 pixel): unknown
+        label[~on_near & ~covered] = -1.0
+        # projections that leave view 1: definite negative
+        off = ((x1[:, 0] < 1) | (x1[:, 0] >= w - 1)
+               | (x1[:, 1] < 1) | (x1[:, 1] >= h - 1))
+        label[off & ~occluded & (on_near | covered), 0] = -1e7
+        return label
+
+    def level_labels(self, patch_size: int) -> np.ndarray:
+        """(M, 3) raw labels at patch granularity, row-major patch order
+        (same frame as pats_tpu.train.labels.homography_labels)."""
+        w, h = self.wh
+        ys = (np.arange(h // patch_size) + 0.5) * patch_size
+        xs = (np.arange(w // patch_size) + 0.5) * patch_size
+        gx, gy = np.meshgrid(xs, ys)
+        pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        return self.transfer(pts)
+
+
+def plane_pair_example(rng: np.random.Generator, size: int, level: int,
+                       baseline_deg: float = 12.0):
+    """One training example from a fresh two-depth plane render: left /
+    right images + raw labels at the level's granularity (32/8/2 px) —
+    the in-domain training source for the synthetic pose-AUC protocol
+    (configs/synthetic_trained.yaml)."""
+    from pats_tpu.train.labels import to_level_labels
+
+    seed = int(rng.integers(0, 2 ** 31 - 1))
+    fx = 400.0 * size / 640.0
+    ds = SyntheticPlanePairs(n_pairs=1, width=size, height=size, fx=fx,
+                             seed=seed, baseline_deg=baseline_deg)
+    ex = ds[0]
+    patch = (32, 8, 2)[level]
+    raw = SyntheticPlaneLabels(ds, 0).level_labels(patch)
+    gt_pos, gt_class = to_level_labels(raw.astype(np.float32), patch)
+    return {
+        "left": ex["image0"].astype(np.float32),
+        "right": ex["image1"].astype(np.float32),
+        "gt_pos": gt_pos, "gt_class": gt_class,
+        "labels_raw": raw.astype(np.float32),
+        "K0": ex["K0"], "K1": ex["K1"], "T0": ex["T0"], "T1": ex["T1"],
+    }
+
+
+def plane_batches(batch_size: int, size: int, level: int = 0,
+                  seed: int = 18027, baseline_deg: float = 12.0):
+    """Endless batches of fresh plane-pair examples (cf.
+    train/synthetic.synthetic_batches)."""
+    rng = np.random.default_rng(seed)
+    while True:
+        buf = [plane_pair_example(rng, size, level, baseline_deg)
+               for _ in range(batch_size)]
+        yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}

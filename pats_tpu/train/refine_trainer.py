@@ -30,9 +30,10 @@ class RefineTrainer:
     def __init__(self, cfg: PATSConfig, mesh: Mesh,
                  learning_rate: float = 1e-4, outdoor: bool = True,
                  total_steps: int = None, warmup_steps: int = 0,
-                 clip_norm: float = 1.0):
+                 clip_norm: float = 1.0, microbatch: int = 2):
         self.cfg = cfg
         self.outdoor = outdoor
+        self.microbatch = microbatch
         self.front = FineTrainer(cfg, mesh, outdoor=outdoor)
         r = cfg.model.refine
         self.refine = SubpixelRefiner(
@@ -203,8 +204,25 @@ class RefineTrainer:
     @partial(jax.jit, static_argnums=0)
     def _step(self, state: TrainState, cv, fv, batch
               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        loss, grads = jax.value_and_grad(self._loss_fn)(
-            state.params, state.batch_stats, cv, fv, batch)
+        # gradient micro-batching (see fine_trainer._step): identical
+        # accumulated update, activations bounded to `microbatch` pairs
+        B = batch["left"].shape[0]
+        mb = min(self.microbatch, B)
+        n = B // mb
+        chunked = {k: v[:n * mb].reshape((n, mb) + v.shape[1:])
+                   for k, v in batch.items()}
+
+        def body(carry, chunk):
+            gsum, lsum = carry
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                state.params, state.batch_stats, cv, fv, chunk)
+            return (jax.tree.map(jnp.add, gsum, grads), lsum + loss), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.float32(0.0)),
+                                       chunked)
+        grads = jax.tree.map(lambda g: g / n, gsum)
+        loss = lsum / n
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)

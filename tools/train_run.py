@@ -45,7 +45,11 @@ def coarse_precision(model, params, batch_stats, pairs, rng_key,
     transport argmax lands within 1 cell of GT (the NLL's target),
     ``err_med`` = median px error of the soft-argmax points, ``err_hit``
     = median px error among argmax-hit cells only (position quality where
-    the transport is right), ``scale_med`` = median predicted scale."""
+    the transport is right), ``scale_med`` = median predicted scale.
+
+    GT comes from each example's raw labels (labels_raw: (G, 3) with the
+    view-1 target in px, or sentinels) — works for homography warps AND
+    the two-depth plane renders, whose geometry is not one homography."""
     import jax
     import jax.numpy as jnp
 
@@ -60,14 +64,10 @@ def coarse_precision(model, params, batch_stats, pairs, rng_key,
         alive = np.asarray(out["alive"])
         plan = np.asarray(out["plan"], np.float64)
         h, w = out["grid"]
-        r, c = np.divmod(np.arange(h * w), w)
-        centers = np.stack([(c + 0.5) * 32, (r + 0.5) * 32,
-                            np.ones(h * w)], axis=1)        # x, y, 1
-        proj = centers @ np.asarray(ex["H"], np.float64).T
-        gt = proj[:, :2] / proj[:, 2:3]                     # x, y px
+        raw = np.asarray(ex["labels_raw"], np.float64)      # (G, 3)
+        gt = raw[:, :2]                                     # x, y px
         err = np.hypot(pts[:, 1] - gt[:, 0], pts[:, 0] - gt[:, 1])
-        inside = ((gt[:, 0] >= 0) & (gt[:, 0] < w * 32)
-                  & (gt[:, 1] >= 0) & (gt[:, 1] < h * 32))
+        inside = raw[:, 0] > -0.5                           # GT positives
         ok = alive & inside & (err < threshold_px)
         n_ok += int(ok.sum())
         n_alive += int((alive & inside).sum())
@@ -145,6 +145,13 @@ def main():
     ap.add_argument("--fine-aniso", action="store_true",
                     help="map fine labels through the true per-axis crop "
                          "geometry instead of the isotropic row scale")
+    ap.add_argument("--data", choices=("warps", "plane"), default="warps",
+                    help="training pairs: homography warps of procedural "
+                         "textures, or two-depth plane renders with exact "
+                         "analytic labels (in-domain with the synthetic "
+                         "pose-AUC protocol, configs/synthetic_trained.yaml)")
+    ap.add_argument("--baseline-deg", type=float, default=12.0,
+                    help="plane-pair camera baseline (degrees)")
     ap.add_argument("--dustbin-final", type=float, default=1.0,
                     help="annealed end value of the anti-collapse dustbin "
                          "weight (5.0 = no anneal)")
@@ -211,12 +218,20 @@ def main():
         state = trainer.init(key, coarse_vars, fine_vars, zero, zero)
 
     rng = np.random.default_rng(0)
-    train_imgs = textured_images(rng, args.train_images, H, W)
     hold_rng = np.random.default_rng(999)
-    hold_imgs = textured_images(hold_rng, args.eval_pairs, H, W)
     warp_kw = dict(max_rotation=0.1, max_scale=0.1, max_translation=0.05)
-    hold_pairs = [warp_pair(im, hold_rng, level=level, **warp_kw)
-                  for im in hold_imgs]
+    if args.data == "plane":
+        from pats_tpu.data.synthetic_pairs import (plane_batches,
+                                                   plane_pair_example)
+
+        hold_pairs = [plane_pair_example(hold_rng, args.size, level,
+                                         args.baseline_deg)
+                      for _ in range(args.eval_pairs)]
+    else:
+        train_imgs = textured_images(rng, args.train_images, H, W)
+        hold_imgs = textured_images(hold_rng, args.eval_pairs, H, W)
+        hold_pairs = [warp_pair(im, hold_rng, level=level, **warp_kw)
+                      for im in hold_imgs]
     if args.level in ("fine", "refine"):
         lkey = "labels8" if args.level == "fine" else "labels2"
         hold_batch = {
@@ -225,8 +240,12 @@ def main():
             lkey: np.stack([p["labels_raw"] for p in hold_pairs]),
         }
 
-    it = synthetic_batches(train_imgs, batch_size=args.batch, level=level,
-                           seed=7, **warp_kw)
+    if args.data == "plane":
+        it = plane_batches(args.batch, args.size, level=level, seed=7,
+                           baseline_deg=args.baseline_deg)
+    else:
+        it = synthetic_batches(train_imgs, batch_size=args.batch,
+                               level=level, seed=7, **warp_kw)
     fh = open(args.out, "w")
     t0 = time.time()
     best_prec = -1.0
