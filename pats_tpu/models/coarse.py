@@ -121,8 +121,16 @@ class CoarseMatcher(nn.Module):
         final = nn.Dense(D, dtype=self.dtype, name="final_proj")
         mdesc0, mdesc1 = final(desc0), final(desc1)                # (G, D)
 
-        # per-target-patch scale head on the right image's projected grid
+        # per-target-patch scale head on the right image's projected grid.
+        # near-zero kernel init: sigmoid(~0) = 0.5 -> scale ~1, so the OT
+        # column marginals start uniform (SuperGlue's fixed marginals)
+        # instead of an exp-amplified random spread that hands ~99% of
+        # the initial plan mass to the dustbin column (round-3
+        # fine-training diagnosis); 1e-4 stddev (not exact zeros) keeps
+        # sharded-vs-dense reductions off exact ties.  Training
+        # (train/losses.scale_anchor_loss) moves the head off 1
         scale_map = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                            kernel_init=nn.initializers.normal(1e-4),
                             dtype=self.dtype, name="scalex_proj")(
             mdesc1.reshape(h, w, D))
         scales_head = jnp.exp(

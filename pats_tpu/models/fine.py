@@ -128,9 +128,13 @@ class FineMatcher(nn.Module):
 
         # scale heads on the right tokens' 12x12 grid (second_layer.py:92-97)
         grid1 = mdesc1[:, :-1, :].reshape(G, 12, 12, D)
-        sx = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+        # near-zero kernel init -> scale ~1 at init (uniform OT column
+        # marginals); see models/coarse.py scale-head note
+        sx = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                     kernel_init=nn.initializers.normal(1e-4), dtype=self.dtype,
                      name="scalex_proj")(grid1).reshape(G, 144)
-        sy = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+        sy = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                     kernel_init=nn.initializers.normal(1e-4), dtype=self.dtype,
                      name="scaley_proj")(grid1).reshape(G, 144)
         scale_x = jnp.exp(nn.sigmoid(sx) * math.log(256.0)
                           - math.log(256.0) / 2)

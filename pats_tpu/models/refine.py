@@ -208,7 +208,9 @@ class SubpixelRefiner(nn.Module):
                              dtype=self.dtype, name="gnn")
         t0, t1 = gnn(t0, t1, point_valid, point_pair, num_pairs)
 
-        smap = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+        # near-zero kernel init -> scale ~1 at init; see models/coarse.py
+        smap = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                       kernel_init=nn.initializers.normal(1e-4), dtype=self.dtype,
                        name="scale_proj")(
             t1[:, :-1, :].reshape(K, W, W, D)).reshape(K, W * W)
         scale = jnp.exp(nn.sigmoid(smap) * math.log(256.0)

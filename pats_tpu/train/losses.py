@@ -41,14 +41,27 @@ class LevelLabels(NamedTuple):
 
 def matching_nll(plan: jnp.ndarray, labels: LevelLabels, height: int,
                  width: int, all_positives: bool = False) -> jnp.ndarray:
-    """-log transport score of the GT cell where the argmax is wrong.
+    """Row-softmax cross-entropy of the GT cell.
 
-    ``all_positives=True`` applies the NLL to EVERY positive (the
-    SuperGlue-style loss) instead of only wrong-argmax positives (the
-    reference's loss_function_matches, utils.py:1438-1448).  The
-    wrong-only gate starves the gradient once a cell's argmax is right
-    but its score is barely above the runner-up; fine-level training
-    from scratch needs the denser signal (round-3 A/B)."""
+    The reference's loss_function_matches (utils.py:1438-1448) takes
+    -plan[gt] on the RAW log plan.  That plan is de-normalized by
+    +log(m + sum(ns)) with ns the LEARNED scale head
+    (ops/sinkhorn.ot_*_dustbin, reference modules.py:162) — so -plan[gt]
+    has a degenerate descent direction: inflate ns_sum and every
+    positive's loss falls by the same additive constant with zero
+    matching improvement.  The round-3 single-batch overfit test caught
+    exactly this: loss 102 -> 12 while transport argmax accuracy fell
+    BELOW chance and the scale head saturated its sigmoid.  SuperGlue
+    does not have the cheat because its de-norm constant is fixed; with
+    learned marginals the loss must be mass-invariant.  Row log-softmax
+    (over the 144 cells + dustbin) is: column-marginal games move the
+    row's logsumexp together with the GT entry, so the only way down is
+    to beat the row's OTHER entries — i.e. match.
+
+    ``all_positives=True`` applies the CE to EVERY positive (SuperGlue
+    style) instead of only wrong-argmax positives (the reference's
+    gate).  The wrong-only gate starves the gradient once a cell's
+    argmax is right but its score barely beats the runner-up."""
     B, M1, N1 = plan.shape
     M, N = M1 - 1, N1 - 1
     positive = labels.gt_class > 0
@@ -56,11 +69,12 @@ def matching_nll(plan: jnp.ndarray, labels: LevelLabels, height: int,
             + jnp.floor(labels.gt_pos[..., 1]).astype(jnp.int32))
     cell = jnp.clip(cell, 0, N - 1)
     max0 = jnp.argmax(plan[:, :-1, :-1], axis=2)
-    gt_score = jnp.take_along_axis(plan[:, :-1, :], cell[..., None],
-                                   axis=2)[..., 0]
+    logp = plan[:, :-1, :] - jax.nn.logsumexp(plan[:, :-1, :], axis=2,
+                                              keepdims=True)
+    gt_logp = jnp.take_along_axis(logp, cell[..., None], axis=2)[..., 0]
     wrong = positive if all_positives else (positive & (max0 != cell))
     denom = jnp.sum(positive.astype(jnp.float32)) + 1e-7
-    return jnp.sum(jnp.where(wrong, -gt_score, 0.0)) / denom
+    return jnp.sum(jnp.where(wrong, -gt_logp, 0.0)) / denom
 
 
 def position_loss(res: ExpandResult, plan: jnp.ndarray, labels: LevelLabels,
@@ -97,24 +111,32 @@ def dustbin_losses(plan: jnp.ndarray, res: ExpandResult, labels: LevelLabels,
     which grows without bound as the dustbin saturates — same gradient
     direction, no attractor.
 
+    Both terms use the ROW-SOFTMAX dustbin share, not the raw
+    de-normalized log plan: the raw plan's additive +log(m + sum(ns))
+    term (learned, see matching_nll) makes raw-logit dustbin penalties
+    cheatable through the scale head, and exp(raw logit) is not a
+    probability at all once the plan mass exceeds 1.
+
     ``mismatch_weight`` scales the anti-collapse term.  It only needs to
     be large while collapse is a live attractor (early training); late in
     training it competes with the position term for gradient budget — the
     round-2 curve showed precision dipping mid-run while the loss kept
     falling.  Trainers anneal it with :func:`dustbin_weight_schedule`.
     """
-    dustbin = plan[:, :-1, -1]           # log dustbin score per source
+    # row-softmax dustbin share per source cell
+    db_logp = (plan[:, :-1, -1]
+               - jax.nn.logsumexp(plan[:, :-1, :], axis=2))
     negative = labels.gt_class < 0
     positive = labels.gt_class > 0
     matched = jnp.logical_not(res.if_nomatching)
     n_neg = jnp.sum(negative.astype(jnp.float32)) + 10.0
     n_pos = jnp.sum(positive.astype(jnp.float32)) + 10.0
-    nomatching = jnp.sum(jnp.where(negative & matched, -dustbin, 0.0)) / n_neg
+    nomatching = jnp.sum(jnp.where(negative & matched, -db_logp, 0.0)) / n_neg
     if anti_collapse:
-        p = jnp.exp(jnp.minimum(dustbin, -1e-4))
+        p = jnp.exp(jnp.minimum(db_logp, -1e-4))
         pen = jnp.minimum(-jnp.log1p(-p), 20.0)
     else:
-        pen = dustbin
+        pen = db_logp
     mismatching = jnp.sum(
         jnp.where(positive & res.if_nomatching, pen, 0.0)) / n_pos
     return nomatching + mismatch_weight * mismatching
