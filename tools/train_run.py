@@ -134,14 +134,16 @@ def main():
                     help="size of the procedural texture pool (small pools "
                          "overfit: held-out precision decays while train "
                          "loss plateaus)")
-    ap.add_argument("--fine-pos-weight", type=float, default=5.0,
+    ap.add_argument("--fine-pos-weight", type=float, default=1.0,
                     help="position-loss weight for --level fine (round-3 "
-                         "diagnosis: at 5.0 its gradient swamps the "
-                         "matching NLL 23:1 and the transport never "
-                         "learns)")
-    ap.add_argument("--fine-nll-all", action="store_true",
-                    help="fine-level NLL over ALL positives (SuperGlue "
-                         "style) instead of wrong-argmax only")
+                         "diagnosis: at the reference's 5.0 its gradient "
+                         "swamps the matching CE 23:1; 1.0 + the "
+                         "row-softmax CE fix lets the transport learn)")
+    ap.add_argument("--fine-nll-all", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fine-level CE over ALL positives (SuperGlue "
+                         "style; default after the round-3 overfit A/B) "
+                         "instead of wrong-argmax only")
     ap.add_argument("--fine-aniso", action="store_true",
                     help="map fine labels through the true per-axis crop "
                          "geometry instead of the isotropic row scale")
