@@ -32,7 +32,17 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
             return ckptr.restore(path, abstract)
-        return ckptr.restore(path)
+        # no target tree: build abstract targets from the checkpoint's own
+        # metadata.  A bare restore replays the SAVED shardings, which
+        # breaks cross-platform restores (a CPU-assembled checkpoint names
+        # TFRT_CPU_0, absent on the TPU) — abstract ShapeDtypeStructs
+        # restore to the current default device instead.
+        meta = ckptr.metadata(path).item_metadata
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding), meta.tree)
+        return ckptr.restore(path, abstract)
 
 
 def load_matcher_checkpoint(path: str, variables: dict) -> dict:
