@@ -112,5 +112,30 @@ class MaskedBatchNorm(nn.Module):
                 var = (jnp.sum(jnp.square(xf) * w, axis=axes,
                                keepdims=True) / denom - jnp.square(mean))
             # torch uses biased variance for normalization in train mode
+        # EMA of the POOLED (masked) statistics in train mode, so
+        # framework-trained checkpoints carry usable running stats for
+        # running-average inference (round-3: without this, trained
+        # cascades evaluated with init stats — mean 0 / var 1 — and the
+        # fine level rejected every cell at eval).  Pooled over ALL
+        # non-channel axes: the single (c,) buffer is exactly what
+        # running-average mode consumes.
+        if (not self.use_running_average and not self.is_initializing()
+                and self.is_mutable_collection("batch_stats")):
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                pm = jnp.mean(xf, axis=axes)
+                pv = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(pm)
+            else:
+                m = jnp.asarray(mask, jnp.float32)
+                m = m.reshape(m.shape + (1,) * (x.ndim - 1 - m.ndim))
+                w = jnp.broadcast_to(m, x.shape[:-1])[..., None]
+                denom = jnp.maximum(jnp.sum(w), 1.0)
+                pm = jnp.sum(xf * w, axis=axes) / denom
+                pv = (jnp.sum(jnp.square(xf) * w, axis=axes) / denom
+                      - jnp.square(pm))
+            mom = self.momentum
+            ra_mean.value = mom * ra_mean.value + (1.0 - mom) * pm
+            ra_var.value = mom * ra_var.value + (1.0 - mom) * pv
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias

@@ -140,10 +140,11 @@ class FineTrainer:
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
         crops, desc, alive, crop_scale, center, boxes = self._front(
             coarse_variables, left, right)
-        out, _ = self.fine.apply(
+        out, mut = self.fine.apply(
             {"params": params, "batch_stats": batch_stats},
             crops[0], crops[1], desc, alive, gh, gw, self.outdoor, True,
             mutable=["batch_stats"])
+        out["_batch_stats"] = mut["batch_stats"]
 
         src = _crop_cell_source_index(gh, gw)              # (G, 144)
         raw = labels8[jnp.clip(src, 0, labels8.shape[0] - 1)]  # (G, 144, 3)
@@ -186,11 +187,12 @@ class FineTrainer:
                    left, right, labels8):
         out, res, labels = self._pair_forward(
             params, batch_stats, coarse_variables, left, right, labels8)
-        return (transport_level_loss(out["plan"], res, labels, 12, 12,
+        loss = (transport_level_loss(out["plan"], res, labels, 12, 12,
                                      weight_position=self.position_weight,
                                      dustbin_mismatch_weight=dustbin_w,
                                      nll_all_positives=self.nll_all_positives)
                 + scale_anchor_loss(out["scales_head"], labels, 12, 12))
+        return loss, out["_batch_stats"]
 
     @partial(jax.jit, static_argnums=0)
     def eval_metrics(self, state: TrainState, batch):
@@ -233,11 +235,13 @@ class FineTrainer:
 
     def _loss_fn(self, params, batch_stats, coarse_variables, dustbin_w,
                  batch):
-        losses = jax.vmap(
+        losses, stats = jax.vmap(
             self._pair_loss, in_axes=(None, None, None, None, 0, 0, 0))(
             params, batch_stats, coarse_variables, dustbin_w,
             batch["left"], batch["right"], batch["labels8"])
-        return jnp.mean(losses)
+        # batch-averaged EMA'd running stats (models/norm.py note)
+        return jnp.mean(losses), jax.tree.map(lambda s: jnp.mean(s, 0),
+                                              stats)
 
     @partial(jax.jit, static_argnums=0)
     def _step(self, state: TrainState, coarse_variables, batch
@@ -256,21 +260,25 @@ class FineTrainer:
                    for k, v in batch.items()}
 
         def body(carry, chunk):
-            gsum, lsum = carry
-            loss, grads = jax.value_and_grad(self._loss_fn)(
+            gsum, lsum, _ = carry
+            (loss, stats), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(
                 state.params, state.batch_stats, coarse_variables,
                 dustbin_w, chunk)
-            return (jax.tree.map(jnp.add, gsum, grads), lsum + loss), None
+            # keep the LAST chunk's EMA'd stats: each chunk EMAs from the
+            # same base, so any one is a valid one-step update
+            return (jax.tree.map(jnp.add, gsum, grads), lsum + loss,
+                    stats), None
 
         zero = jax.tree.map(jnp.zeros_like, state.params)
-        (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.float32(0.0)),
-                                       chunked)
+        (gsum, lsum, new_stats), _ = jax.lax.scan(
+            body, (zero, jnp.float32(0.0), state.batch_stats), chunked)
         grads = jax.tree.map(lambda g: g / n, gsum)
         loss = lsum / n
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
-        return (TrainState(params, state.batch_stats, opt_state,
+        return (TrainState(params, new_stats, opt_state,
                            state.step + 1),
                 {"loss": loss, "grad_norm": optax.global_norm(grads)})
 

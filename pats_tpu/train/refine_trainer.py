@@ -100,7 +100,7 @@ class RefineTrainer:
         gh, gw = left.shape[0] // 32, left.shape[1] // 32
         (crops, t0, t1, pid, cell, tgt, valid, alive, crop_scale,
          center) = self._points(coarse_vars, fine_vars, left, right)
-        out, _ = self.refine.apply(
+        out, mut = self.refine.apply(
             {"params": params, "batch_stats": batch_stats},
             crops[0], crops[1], t0, t1, pid, cell, tgt, valid, alive,
             mutable=["batch_stats"])
@@ -158,19 +158,19 @@ class RefineTrainer:
         n_neg = jnp.sum(negative.astype(jnp.float32)) + 1e-6
         rej_loss = (jnp.sum(jnp.where(negative, v16, 0.0)) / n_neg
                     + jnp.sum(jnp.where(positive, 1.0 - v16, 0.0)) / denom)
-        return pos_loss, rej_loss, d2, positive
+        return pos_loss, rej_loss, d2, positive, mut["batch_stats"]
 
     def _pair_loss(self, params, batch_stats, coarse_vars, fine_vars,
                    left, right, labels2):
-        pos_loss, rej_loss, _, _ = self._pair_stats(
+        pos_loss, rej_loss, _, _, stats = self._pair_stats(
             params, batch_stats, coarse_vars, fine_vars, left, right,
             labels2)
-        return pos_loss + rej_loss
+        return pos_loss + rej_loss, stats
 
     @partial(jax.jit, static_argnums=0)
     def _eval(self, params, batch_stats, cv, fv, batch):
         def one(left, right, labels2):
-            pos_loss, rej_loss, d2, positive = self._pair_stats(
+            pos_loss, rej_loss, d2, positive, _ = self._pair_stats(
                 params, batch_stats, cv, fv, left, right, labels2)
             hit = positive & (d2 < 4.0)     # refined point within 2 crop px
             return (pos_loss + rej_loss,
@@ -195,11 +195,13 @@ class RefineTrainer:
                           self.coarse_vars, self.fine_vars, batch)
 
     def _loss_fn(self, params, batch_stats, cv, fv, batch):
-        losses = jax.vmap(
+        losses, stats = jax.vmap(
             self._pair_loss, in_axes=(None, None, None, None, 0, 0, 0))(
             params, batch_stats, cv, fv,
             batch["left"], batch["right"], batch["labels2"])
-        return jnp.mean(losses)
+        # batch-averaged EMA'd running stats (models/norm.py note)
+        return jnp.mean(losses), jax.tree.map(lambda s: jnp.mean(s, 0),
+                                              stats)
 
     @partial(jax.jit, static_argnums=0)
     def _step(self, state: TrainState, cv, fv, batch
@@ -213,20 +215,22 @@ class RefineTrainer:
                    for k, v in batch.items()}
 
         def body(carry, chunk):
-            gsum, lsum = carry
-            loss, grads = jax.value_and_grad(self._loss_fn)(
+            gsum, lsum, _ = carry
+            (loss, stats), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(
                 state.params, state.batch_stats, cv, fv, chunk)
-            return (jax.tree.map(jnp.add, gsum, grads), lsum + loss), None
+            return (jax.tree.map(jnp.add, gsum, grads), lsum + loss,
+                    stats), None
 
         zero = jax.tree.map(jnp.zeros_like, state.params)
-        (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.float32(0.0)),
-                                       chunked)
+        (gsum, lsum, new_stats), _ = jax.lax.scan(
+            body, (zero, jnp.float32(0.0), state.batch_stats), chunked)
         grads = jax.tree.map(lambda g: g / n, gsum)
         loss = lsum / n
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
-        return (TrainState(params, state.batch_stats, opt_state,
+        return (TrainState(params, new_stats, opt_state,
                            state.step + 1),
                 {"loss": loss, "grad_norm": optax.global_norm(grads)})
 

@@ -78,7 +78,7 @@ class CoarseTrainer:
 
     def _pair_loss(self, params, batch_stats, rng, dustbin_w, left, right,
                    gt_pos, gt_class):
-        out, _ = self.model.apply(
+        out, mut = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, left, right,
             mutable=["batch_stats"], rngs={"dropout": rng})
         res = ExpandResult(
@@ -90,17 +90,22 @@ class CoarseTrainer:
             if_nomatching=jnp.logical_not(out["alive"])[None])
         labels = LevelLabels(gt_pos[None], gt_class[None])
         h, w = out["grid"]
-        return (transport_level_loss(out["plan"][None], res, labels, h, w,
+        loss = (transport_level_loss(out["plan"][None], res, labels, h, w,
                                      dustbin_mismatch_weight=dustbin_w)
                 + scale_anchor_loss(out["scales_head"][None], labels, h, w))
+        return loss, mut["batch_stats"]
 
     def _loss_fn(self, params, batch_stats, rng, dustbin_w, batch):
         rngs = jax.random.split(rng, batch["left"].shape[0])
-        losses = jax.vmap(
+        losses, stats = jax.vmap(
             self._pair_loss, in_axes=(None, None, 0, None, 0, 0, 0, 0))(
             params, batch_stats, rngs, dustbin_w, batch["left"],
             batch["right"], batch["gt_pos"], batch["gt_class"])
-        return jnp.mean(losses)
+        # per-pair EMA'd running stats, averaged across the batch: the
+        # carried running statistics must track training (round-3: eval
+        # with init stats rejected everything — models/norm.py note)
+        return jnp.mean(losses), jax.tree.map(lambda s: jnp.mean(s, 0),
+                                              stats)
 
     @partial(jax.jit, static_argnums=0)
     def _step(self, state: TrainState, rng, batch
@@ -109,12 +114,13 @@ class CoarseTrainer:
         # (round-2 curve: precision dipped mid-run while loss kept falling)
         dustbin_w = dustbin_weight_schedule(state.step,
                                             final=self.dustbin_final)
-        loss, grads = jax.value_and_grad(self._loss_fn)(
+        (loss, new_stats), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(
             state.params, state.batch_stats, rng, dustbin_w, batch)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, state.batch_stats, opt_state,
+        new_state = TrainState(params, new_stats, opt_state,
                                state.step + 1)
         gnorm = optax.global_norm(grads)
         # grad_norm is the RAW norm (can be huge at random init); the

@@ -58,3 +58,36 @@ def test_grouped_all_dead_group_is_finite(rng):
     v = bn.init(jax.random.PRNGKey(0), x)
     out = bn.apply(v, x, mask, (), groups, B)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_mode_updates_running_stats(rng):
+    """Round-3 regression: train-mode MaskedBatchNorm must EMA the pooled
+    masked statistics into batch_stats, or framework-trained checkpoints
+    evaluate with init stats (mean 0 / var 1) in running-average mode."""
+    import jax.numpy as jnp
+    from pats_tpu.models.norm import MaskedBatchNorm
+
+    x = jnp.asarray(rng.normal(3.0, 2.0, (16, 5, 4)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(16,)) < 0.7)
+    bn = MaskedBatchNorm(use_running_average=False, momentum=0.5)
+    variables = bn.init(jax.random.PRNGKey(0), x, mask)
+    stats = variables["batch_stats"]
+    for _ in range(12):
+        _, mut = bn.apply({"params": variables["params"],
+                           "batch_stats": stats}, x, mask,
+                          mutable=["batch_stats"])
+        stats = mut["batch_stats"]
+    xm = np.asarray(x)[np.asarray(mask)]
+    want_mean = xm.reshape(-1, 4).mean(0)
+    want_var = xm.reshape(-1, 4).var(0)
+    np.testing.assert_allclose(np.asarray(stats["mean"]), want_mean,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(stats["var"]), want_var,
+                               rtol=0.05)
+    # running-average mode with the refreshed stats ~ train-mode output
+    y_train = bn.apply(variables, x, mask)
+    y_eval = MaskedBatchNorm(use_running_average=True).apply(
+        {"params": variables["params"], "batch_stats": stats}, x)
+    np.testing.assert_allclose(np.asarray(y_eval)[np.asarray(mask)],
+                               np.asarray(y_train)[np.asarray(mask)],
+                               atol=0.05)

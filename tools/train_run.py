@@ -128,8 +128,17 @@ def main():
                     help="orbax coarse checkpoint to freeze under "
                          "--level fine/refine (default: random coarse)")
     ap.add_argument("--init-fine", default=None,
-                    help="orbax fine checkpoint to freeze under "
-                         "--level refine (default: random fine)")
+                    help="orbax fine checkpoint: frozen front under "
+                         "--level refine, or the TRAINABLE init under "
+                         "--level fine (default: random)")
+    ap.add_argument("--init-refine", default=None,
+                    help="orbax refine checkpoint: trainable init under "
+                         "--level refine")
+    ap.add_argument("--save-final", action="store_true",
+                    help="also save the FINAL state (not only the best "
+                         "held-out one) - required for --lr 0 BN "
+                         "recalibration passes, whose precision never "
+                         "improves but whose running stats do")
     ap.add_argument("--train-images", type=int, default=32,
                     help="size of the procedural texture pool (small pools "
                          "overfit: held-out precision decays while train "
@@ -189,6 +198,12 @@ def main():
                                 dustbin_final=args.dustbin_final)
         state = trainer.init(key, jnp.zeros((H, W, 3)),
                              jnp.zeros((H, W, 3)))
+        if args.init_coarse:
+            got = _maybe_overlay({"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                                 args.init_coarse)
+            state = state._replace(params=got["params"],
+                                   batch_stats=got["batch_stats"])
     elif args.level == "fine":
         from pats_tpu.train.fine_trainer import FineTrainer
 
@@ -203,6 +218,12 @@ def main():
         coarse_vars = jax.jit(trainer.coarse.init)(key, zero, zero)
         coarse_vars = _maybe_overlay(coarse_vars, args.init_coarse)
         state = trainer.init(key, coarse_vars, zero, zero)
+        if args.init_fine:
+            got = _maybe_overlay({"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                                 args.init_fine)
+            state = state._replace(params=got["params"],
+                                   batch_stats=got["batch_stats"])
     else:
         from pats_tpu.train.refine_trainer import RefineTrainer
 
@@ -218,6 +239,12 @@ def main():
             {"params": fine_state.params,
              "batch_stats": fine_state.batch_stats}, args.init_fine)
         state = trainer.init(key, coarse_vars, fine_vars, zero, zero)
+        if args.init_refine:
+            got = _maybe_overlay({"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                                 args.init_refine)
+            state = state._replace(params=got["params"],
+                                   batch_stats=got["batch_stats"])
 
     rng = np.random.default_rng(0)
     hold_rng = np.random.default_rng(999)
@@ -321,6 +348,12 @@ def main():
                 print(f"saved best (prec {prec:.4f}) to {args.save}",
                       flush=True)
     fh.close()
+    if args.save and args.save_final:
+        from pats_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save, {"params": state.params,
+                                    "batch_stats": state.batch_stats})
+        print(f"saved final state to {args.save}", flush=True)
 
 
 if __name__ == "__main__":
