@@ -203,7 +203,6 @@ def _in_convex_quad(pts: np.ndarray, quad: np.ndarray) -> np.ndarray:
     """Vectorized point-in-convex-quad test (consistent-side sign)."""
     sign = None
     inside = np.ones(pts.shape[0], bool)
-    s = np.zeros(pts.shape[0])
     for i in range(4):
         a, b = quad[i], quad[(i + 1) % 4]
         cross = ((b[0] - a[0]) * (pts[:, 1] - a[1])

@@ -38,7 +38,10 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
         # TFRT_CPU_0, absent on the TPU) — abstract ShapeDtypeStructs
         # restore to the current default device instead.
         meta = ckptr.metadata(path).item_metadata
-        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        # local_devices()[0]: jax.devices()[0] may be non-addressable in a
+        # multi-process run (advisor r3); the bare path is single-host
+        # convenience — mesh-aware callers pass `like`
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         abstract = jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
                                            sharding=sharding), meta.tree)

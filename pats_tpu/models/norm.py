@@ -124,18 +124,27 @@ class MaskedBatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             if mask is None:
+                cnt = jnp.float32(xf.size // xf.shape[-1])
                 pm = jnp.mean(xf, axis=axes)
                 pv = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(pm)
             else:
                 m = jnp.asarray(mask, jnp.float32)
                 m = m.reshape(m.shape + (1,) * (x.ndim - 1 - m.ndim))
                 w = jnp.broadcast_to(m, x.shape[:-1])[..., None]
-                denom = jnp.maximum(jnp.sum(w), 1.0)
+                cnt = jnp.sum(w)
+                denom = jnp.maximum(cnt, 1.0)
                 pm = jnp.sum(xf * w, axis=axes) / denom
                 pv = (jnp.sum(jnp.square(xf) * w, axis=axes) / denom
                       - jnp.square(pm))
+            # torch EMAs the UNBIASED batch variance into running_var
+            # (Bessel), and a fully-dead batch must not drag the carried
+            # stats toward mean 0 / var 0 (advisor r3)
+            pv = pv * cnt / jnp.maximum(cnt - 1.0, 1.0)
             mom = self.momentum
-            ra_mean.value = mom * ra_mean.value + (1.0 - mom) * pm
-            ra_var.value = mom * ra_var.value + (1.0 - mom) * pv
+            new_mean = mom * ra_mean.value + (1.0 - mom) * pm
+            new_var = mom * ra_var.value + (1.0 - mom) * pv
+            live = cnt > 0
+            ra_mean.value = jnp.where(live, new_mean, ra_mean.value)
+            ra_var.value = jnp.where(live, new_var, ra_var.value)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias

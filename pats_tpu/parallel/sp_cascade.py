@@ -35,14 +35,18 @@ from pats_tpu.parallel.sp_coarse import sp_coarse_forward
 def match_pair_fully_sharded(variables, left: jnp.ndarray,
                              right: jnp.ndarray, config: ModelConfig,
                              mesh: Mesh, axis: str = "model",
-                             outdoor: bool = True, merge_new: bool = True):
+                             outdoor: bool = True, merge_new: bool = True,
+                             return_stats: bool = False):
     """Match ONE (H, W, 3) pair with all three levels sharded over
     ``mesh[axis]``.  Requires (H/32)*(W/32) % mesh.shape[axis] == 0 (the
     sp_coarse token-split constraint).
 
     ``variables`` is the PATSCascade tree (params/batch_stats with
     coarse/fine/refine subtrees).  Returns (matches_l, matches_r, valid)
-    with the fixed single-pair cascade shapes.
+    with the fixed single-pair cascade shapes; with ``return_stats`` also
+    a dict of per-level liveness counts (n_coarse = alive coarse patches,
+    n_fine = live fine cells post-merge) so callers can check that the
+    merge/compaction collectives carried live data.
     """
     cfg = config
     shard = NamedSharding(mesh, P(axis))
@@ -111,7 +115,14 @@ def match_pair_fully_sharded(variables, left: jnp.ndarray,
             sh(r1["alive"] & jnp.any(r2["cell_alive"], axis=-1)),
             mutable=["batch_stats"])
 
-        return finish_matches(r3["mkpts1"], r3["valid16"], point_valid,
-                              order, center, crop_scale, gh, gw, outdoor)
+        ml, mr, valid = finish_matches(
+            r3["mkpts1"], r3["valid16"], point_valid, order, center,
+            crop_scale, gh, gw, outdoor)
+        stats = {"n_coarse": jnp.sum(r1["alive"].astype(jnp.int32)),
+                 "n_fine": jnp.sum(r2["cell_alive"].astype(jnp.int32))}
+        return ml, mr, valid, stats
 
-    return fwd(variables, left, right)
+    ml, mr, valid, stats = fwd(variables, left, right)
+    if return_stats:
+        return ml, mr, valid, stats
+    return ml, mr, valid

@@ -210,8 +210,11 @@ class RefineTrainer:
         # accumulated update, activations bounded to `microbatch` pairs
         B = batch["left"].shape[0]
         mb = min(self.microbatch, B)
+        if B % mb:   # advisor r3: a silent v[:n*mb] dropped the remainder
+            raise ValueError(
+                f"batch size {B} must be a multiple of microbatch {mb}")
         n = B // mb
-        chunked = {k: v[:n * mb].reshape((n, mb) + v.shape[1:])
+        chunked = {k: v.reshape((n, mb) + v.shape[1:])
                    for k, v in batch.items()}
 
         def body(carry, chunk):
