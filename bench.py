@@ -103,24 +103,26 @@ def main():
     elapsed = chained(ITERS)
     pairs_per_s = ITERS * BATCH / elapsed
 
-    # ---- MFU accounting (round-3 verdict item 3) ----
-    # Algorithmic FLOPs from XLA's cost analysis of the PURE-XLA graph
-    # (fused Pallas kernels are opaque custom calls, so the count is taken
-    # with them disabled; the algorithm is identical).  MFU is reported
-    # against the device's bf16 matmul peak.
+    # ---- MFU accounting (round-3 verdict item 3/4) ----
+    # MXU FLOPs from the analytic jaxpr walk (utils/flops.py): exact
+    # dot/conv MAC count of the PURE-XLA graph (fused Pallas kernels are
+    # opaque custom calls, so the count is taken with them disabled; the
+    # algorithm is identical).  XLA's lowered cost_analysis() returns
+    # None on the axon TPU runtime and bogus totals for the full-cascade
+    # jaxpr on CPU (tests/test_flops.py), so the analytic count is the
+    # primary source.  MFU = achieved matmul FLOP/s over the chip's bf16
+    # matmul peak.
     flops_per_pair = mfu = None
     try:
+        from pats_tpu.utils.flops import matmul_flops
+
         xmc = dataclasses.replace(mc, use_pallas_sinkhorn=False,
                                   use_fused_attention=False)
         xmodel = PATSCascadeBatched(config=xmc, outdoor=True, merge_new=True)
-        lowered = jax.jit(
+        flops_per_pair = matmul_flops(
             lambda v, l, r: xmodel.apply(v, l, r,
-                                         mutable=["batch_stats"])[0]
-        ).lower(variables, left, right)
-        ca = lowered.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops_per_pair = float(ca["flops"]) / BATCH
+                                         mutable=["batch_stats"])[0],
+            variables, left, right) / BATCH
         peak = _bf16_peak_flops(jax.devices()[0])
         if peak:
             mfu = pairs_per_s * flops_per_pair / peak
