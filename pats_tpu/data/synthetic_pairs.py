@@ -47,6 +47,36 @@ def plane_texture(rng, size: int = 1024):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def plane_texture_blobs(rng, size: int = 1024):
+    """Out-of-family texture: piecewise-flat Voronoi-ish cells + hard
+    step edges + sparse dots — a very different spectrum (flat regions,
+    sharp discontinuities) from ``plane_texture``'s smooth band-limited
+    noise.  Used by the cross-family generalization eval (round-3
+    verdict #7): the trainers never see this family."""
+    import cv2
+
+    img = np.full((size, size, 3), rng.uniform(40, 216, 3), np.float32)
+    # large flat polygons (rotated rectangles) with hard edges
+    for _ in range(60):
+        c = rng.uniform(0, size, 2).astype(np.float32)
+        wh = rng.uniform(size // 32, size // 4, 2).astype(np.float32)
+        ang = float(rng.uniform(0, 180))
+        box = cv2.boxPoints(((float(c[0]), float(c[1])),
+                             (float(wh[0]), float(wh[1])), ang))
+        cv2.fillConvexPoly(img, box.astype(np.int32),
+                           rng.uniform(0, 255, 3).tolist())
+    # sparse high-contrast dots
+    for _ in range(300):
+        p = rng.integers(0, size, 2)
+        cv2.circle(img, (int(p[0]), int(p[1])),
+                   int(rng.integers(2, size // 64)),
+                   rng.uniform(0, 255, 3).tolist(), -1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+_TEXTURE_FAMILIES = {"default": plane_texture, "blobs": plane_texture_blobs}
+
+
 def plane_homography(K: np.ndarray, R: np.ndarray, t: np.ndarray,
                      tex_size: int, plane_scale: float, z: float = 0.0,
                      center_xy=(0.0, 0.0)) -> np.ndarray:
@@ -94,7 +124,9 @@ class SyntheticPlanePairs:
     def __init__(self, n_pairs: int = 64, width: int = 640,
                  height: int = 480, fx: float = 400.0, seed: int = 0,
                  baseline_deg: float = 12.0, z_near: float = -1.5,
-                 plane_scale: float = 0.007, near_scale: float = 0.0025):
+                 plane_scale: float = 0.007, near_scale: float = 0.0025,
+                 texture: str = "default"):
+        self.texture_fn = _TEXTURE_FAMILIES[texture]
         self.n_pairs = n_pairs
         self.wh = (width, height)
         self.K = np.array([[fx, 0, width / 2], [0, fx, height / 2],
@@ -134,8 +166,8 @@ class SyntheticPlanePairs:
         if idx >= self.n_pairs:
             raise IndexError(idx)
         rng = np.random.default_rng((self.seed, idx, 7))
-        tex_far = plane_texture(rng, self.tex_size)
-        tex_near = plane_texture(rng, self.tex_size // 2)
+        tex_far = self.texture_fn(rng, self.tex_size)
+        tex_near = self.texture_fn(rng, self.tex_size // 2)
         (R0, t0), (R1, t1) = self.poses(idx)
         T0 = np.eye(4, dtype=np.float32)
         T0[:3, :3], T0[:3, 3] = R0, t0

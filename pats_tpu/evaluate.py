@@ -47,7 +47,13 @@ def build_dataset(cfg: PATSConfig):
         opts = {}
         for kv in (cfg.eval.pairs_path or "").split():
             k, v = kv.split("=")
-            opts[k] = int(v) if v.lstrip("-").isdigit() else float(v)
+            if v.lstrip("-").isdigit():
+                opts[k] = int(v)
+            else:
+                try:
+                    opts[k] = float(v)
+                except ValueError:
+                    opts[k] = v          # e.g. texture=blobs
         return SyntheticPlanePairs(**opts)
     raise ValueError(f"unknown dataset {name!r}")
 
