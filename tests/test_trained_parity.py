@@ -1,0 +1,93 @@
+"""Crutch-free full-cascade parity on TRAINED weights (round-3 verdict #6).
+
+test_reference_parity.py runs shared RANDOM weights and needs two
+shared-weight adjustments (``_deharden``) plus a box-flip slot exclusion
+to stay out of degenerate regimes trained weights never enter.  This
+test closes the loop in the realistic regime: the framework-trained
+checkpoint is exported to the reference's three .pt files via the
+reverse converter (io/convert.save_reference_checkpoints), loaded by the
+reference's OWN ``PATS.load_state_dict`` (models/pats.py:88-109), and
+both full cascades are compared on an in-domain synthetic plane pair —
+no weight surgery, no slot exclusion.
+
+Skips unless a trained full-cascade checkpoint exists (orbax tree at
+$PATS_TRAINED_CKPT, default /root/ckpts/r4_full).
+"""
+
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, str(Path(__file__).parent))
+from reference_harness import load_reference  # noqa: E402
+
+
+pytestmark = pytest.mark.slow
+
+CKPT = os.environ.get("PATS_TRAINED_CKPT", "/root/ckpts/r4_full")
+
+
+def _nearest_joint_dist(ref_pts, got_pts, chunk=512):
+    best = np.full(ref_pts.shape[0], np.inf, np.float32)
+    for s in range(0, ref_pts.shape[0], chunk):
+        d = np.abs(ref_pts[s:s + chunk, None, :] - got_pts[None, :, :]
+                   ).max(-1)
+        best[s:s + chunk] = d.min(1)
+    return best
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT),
+                    reason=f"no trained checkpoint at {CKPT}")
+def test_trained_full_cascade_parity(tmp_path):
+    from pats_tpu.config import load_config
+    from pats_tpu.data.synthetic_pairs import SyntheticPlanePairs
+    from pats_tpu.io.checkpoint import load_checkpoint
+    from pats_tpu.io.convert import save_reference_checkpoints
+    from pats_tpu.matcher import Matcher
+
+    variables = load_checkpoint(CKPT)
+    paths = [str(tmp_path / f"{n}.pt") for n in ("coarse", "fine", "third")]
+    save_reference_checkpoints(variables, *paths)
+
+    ref = load_reference()
+    rcfg = types.SimpleNamespace(
+        if_local=False, if_outdoor=True, merge_new=True,
+        checkpoint=paths[0], checkpoint2=paths[1], checkpoint3=paths[2])
+    model = ref.pats.PATS(rcfg)
+    model.load_state_dict()        # the reference's own 3-file loader
+    model = model.eval()           # third layer stays train() (pats.py:117)
+
+    # in-domain pair: same renderer/protocol as the trained eval
+    # (configs/synthetic_trained.yaml), at the training resolution
+    ds = SyntheticPlanePairs(n_pairs=1, width=320, height=256, seed=42)
+    item = ds[0]
+    img0 = torch.from_numpy(item["image0"].astype(np.float32))
+    img1 = torch.from_numpy(item["image1"].astype(np.float32))
+
+    with torch.no_grad():
+        want = model({"image0": img0[None], "image1": img1[None]})
+    ref_ml = want["matches_l"].numpy()
+    ref_mr = want["matches_r"].numpy()
+    assert ref_ml.shape[0] > 200, "reference produced too few matches"
+
+    cfg = load_config(None, {"eval": {"if_outdoor": True,
+                                      "merge_new": True},
+                             "model": {"refine_batch_stats": True}})
+    matcher = Matcher(cfg, variables=variables)
+    got_ml, got_mr = matcher.match(item["image0"], item["image1"])
+    assert got_ml.shape[0] > 200, "cascade produced too few matches"
+
+    ref_pts = np.concatenate([ref_ml, ref_mr], 1).astype(np.float32)
+    got_pts = np.concatenate([got_ml, got_mr], 1).astype(np.float32)
+    dist = _nearest_joint_dist(ref_pts, got_pts)
+    frac = float((dist < 0.5).mean())
+    assert frac >= 0.95, (
+        f"only {frac:.1%} of {ref_pts.shape[0]} reference matches have a "
+        f"<0.5px counterpart (got {got_pts.shape[0]}; median nearest "
+        f"dist {np.median(dist):.3f}px)")
+    assert abs(got_pts.shape[0] - ref_pts.shape[0]) < 0.1 * ref_pts.shape[0]
