@@ -1,0 +1,75 @@
+"""Trained-checkpoint accuracy floor (round-3 verdict weak #4/#5).
+
+The headline trained numbers existed only as JSON artifacts; nothing
+failed if the checkpoint or model silently regressed.  These slow tests
+pin a floor under the trained cascade on the in-domain synthetic plane
+protocol using exact epipolar geometry (no RANSAC noise, 3 pairs):
+
+- r3 floor (coarse+fine trained, max_level 2, 8-px granularity):
+  calibrated from 6 pairs at 320x256 — n>=970 matches/pair,
+  median |epipolar| 2.5-10.1 px, frac<2px 0.25-0.42.  Floors set at
+  roughly half the observed worst pair.
+- r4 floor (full 3-level): added once the refine level is trained; the
+  PATS_TRAINED_CKPT gate in test_trained_parity.py shares the path.
+
+Skips when the pinned checkpoint directory is absent (fresh clone
+without /root/ckpts) — the checkpoint manifest (ckpts/MANIFEST.json)
+records which artifact carries each floor.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+R3_CKPT = os.environ.get("PATS_R3_CKPT", "/root/ckpts/r3_full")
+R4_CKPT = os.environ.get("PATS_TRAINED_CKPT", "/root/ckpts/r4_full")
+
+
+def _epi_stats(ckpt, max_level, n_pairs=3):
+    from pats_tpu.config import load_config
+    from pats_tpu.data.synthetic_pairs import SyntheticPlanePairs
+    from pats_tpu.io.checkpoint import load_matcher_checkpoint
+    from pats_tpu.matcher import Matcher
+    from pats_tpu.utils.metrics import epipolar_errors
+
+    cfg = load_config(None, {
+        "eval": {"if_outdoor": True, "merge_new": True},
+        "model": {"refine_batch_stats": True, "max_level": max_level}})
+    m = Matcher(cfg, seed=0)
+    m.variables = load_matcher_checkpoint(ckpt, m.variables)
+    ds = SyntheticPlanePairs(n_pairs=n_pairs, width=320, height=256, seed=0)
+    stats = []
+    for i in range(n_pairs):
+        it = ds[i]
+        ml, mr = m.match(it["image0"], it["image1"])
+        e = np.abs(epipolar_errors(ml, mr, it["K0"], it["K1"],
+                                   it["T0"], it["T1"]))
+        assert e.size, f"pair {i}: zero matches"
+        stats.append((ml.shape[0], float(np.median(e)),
+                      float((e < 2.0).mean())))
+    return stats
+
+
+@pytest.mark.skipif(not os.path.isdir(R3_CKPT),
+                    reason=f"no trained checkpoint at {R3_CKPT}")
+def test_r3_coarse_fine_floor():
+    stats = _epi_stats(R3_CKPT, max_level=2)
+    for i, (n, med, frac2) in enumerate(stats):
+        assert n >= 500, f"pair {i}: only {n} matches"
+        assert med <= 20.0, f"pair {i}: median epipolar {med:.2f}px"
+    assert np.mean([s[2] for s in stats]) >= 0.15, stats
+
+
+@pytest.mark.skipif(not os.path.isdir(R4_CKPT),
+                    reason=f"no trained checkpoint at {R4_CKPT}")
+def test_r4_full_cascade_floor():
+    """3-level floor: refine's 2-px granularity must beat the 8-px
+    stage's epipolar stats, not just match them."""
+    stats = _epi_stats(R4_CKPT, max_level=3)
+    for i, (n, med, frac2) in enumerate(stats):
+        assert n >= 500, f"pair {i}: only {n} matches"
+        assert med <= 10.0, f"pair {i}: median epipolar {med:.2f}px"
+    assert np.mean([s[2] for s in stats]) >= 0.30, stats
