@@ -80,7 +80,12 @@ def main():
     # dependent costs (dead-item skip, Sinkhorn early exit) shift under
     # trained weights, so the bench measures the regime that matters;
     # random-weight fallback keeps cold environments working.
-    ckpt = os.environ.get("PATS_BENCH_CKPT", "/root/ckpts/r4_full")
+    # in-repo default: /root/ckpts did not survive round boundaries, so
+    # the committed ckpts/ tree is the only path the driver's bench sees
+    ckpt = os.environ.get(
+        "PATS_BENCH_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "ckpts", "r4_full"))
     weights = "random"
     if os.path.isdir(ckpt):
         try:

@@ -24,8 +24,15 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
-R3_CKPT = os.environ.get("PATS_R3_CKPT", "/root/ckpts/r3_full")
-R4_CKPT = os.environ.get("PATS_TRAINED_CKPT", "/root/ckpts/r4_full")
+# Default to the IN-REPO checkpoint (ckpts/ is committed): /root/ckpts
+# did not survive the round-3/4 environment boundary, which silently
+# skipped these floors — in-tree artifacts are the only durable option.
+_CKPTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      os.pardir, "ckpts")
+R3_CKPT = os.environ.get("PATS_R3_CKPT",
+                         os.path.join(_CKPTS, "r4_full"))
+R4_CKPT = os.environ.get("PATS_TRAINED_CKPT",
+                         os.path.join(_CKPTS, "r4_full"))
 
 
 def _epi_stats(ckpt, max_level, n_pairs=3):
@@ -55,7 +62,9 @@ def _epi_stats(ckpt, max_level, n_pairs=3):
 
 @pytest.mark.skipif(not os.path.isdir(R3_CKPT),
                     reason=f"no trained checkpoint at {R3_CKPT}")
-def test_r3_coarse_fine_floor():
+def test_coarse_fine_floor():
+    """8-px-stage floor (the round-3 numbers, re-pinned on the r4
+    checkpoint's coarse+fine levels at max_level 2)."""
     stats = _epi_stats(R3_CKPT, max_level=2)
     for i, (n, med, frac2) in enumerate(stats):
         assert n >= 500, f"pair {i}: only {n} matches"

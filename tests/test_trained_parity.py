@@ -11,7 +11,7 @@ both full cascades are compared on an in-domain synthetic plane pair —
 no weight surgery, no slot exclusion.
 
 Skips unless a trained full-cascade checkpoint exists (orbax tree at
-$PATS_TRAINED_CKPT, default /root/ckpts/r4_full).
+$PATS_TRAINED_CKPT, default: the committed in-repo ckpts/r4_full).
 """
 
 import os
@@ -29,7 +29,10 @@ from reference_harness import load_reference  # noqa: E402
 
 pytestmark = pytest.mark.slow
 
-CKPT = os.environ.get("PATS_TRAINED_CKPT", "/root/ckpts/r4_full")
+CKPT = os.environ.get(
+    "PATS_TRAINED_CKPT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 os.pardir, "ckpts", "r4_full"))
 
 
 def _nearest_joint_dist(ref_pts, got_pts, chunk=512):
