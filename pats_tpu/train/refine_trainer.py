@@ -30,7 +30,11 @@ class RefineTrainer:
     def __init__(self, cfg: PATSConfig, mesh: Mesh,
                  learning_rate: float = 1e-4, outdoor: bool = True,
                  total_steps: int = None, warmup_steps: int = 0,
-                 clip_norm: float = 1.0, microbatch: int = 2):
+                 clip_norm: float = 1.0, microbatch: int = 1):
+        # microbatch 1 (not 2, the fine trainer's default): one pair's
+        # refine backward carries ~10 bf16[2,K3=16G,65,128] GNN remat
+        # boundaries PLUS the frozen coarse+fine front-end — two pairs
+        # exceed a 16G v5e at 256px (measured 17.40G/15.75G OOM, r4)
         self.cfg = cfg
         self.outdoor = outdoor
         self.microbatch = microbatch

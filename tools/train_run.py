@@ -156,6 +156,10 @@ def main():
     ap.add_argument("--fine-aniso", action="store_true",
                     help="map fine labels through the true per-axis crop "
                          "geometry instead of the isotropic row scale")
+    ap.add_argument("--microbatch", type=int, default=None,
+                    help="gradient-accumulation chunk (pairs per backward) "
+                         "for --level fine/refine; default: the trainer's "
+                         "(fine 2, refine 1 — HBM-bound)")
     ap.add_argument("--data", choices=("warps", "plane"), default="warps",
                     help="training pairs: homography warps of procedural "
                          "textures, or two-depth plane renders with exact "
@@ -207,13 +211,15 @@ def main():
     elif args.level == "fine":
         from pats_tpu.train.fine_trainer import FineTrainer
 
+        mb_kw = ({"microbatch": args.microbatch}
+                 if args.microbatch else {})
         trainer = FineTrainer(cfg, mesh, learning_rate=args.lr,
                               total_steps=args.steps,
                               warmup_steps=args.warmup,
                               clip_norm=args.clip,
                               position_weight=args.fine_pos_weight,
                               nll_all_positives=args.fine_nll_all,
-                              aniso_labels=args.fine_aniso)
+                              aniso_labels=args.fine_aniso, **mb_kw)
         zero = jnp.zeros((H, W, 3))
         coarse_vars = jax.jit(trainer.coarse.init)(key, zero, zero)
         coarse_vars = _maybe_overlay(coarse_vars, args.init_coarse)
@@ -227,10 +233,12 @@ def main():
     else:
         from pats_tpu.train.refine_trainer import RefineTrainer
 
+        mb_kw = ({"microbatch": args.microbatch}
+                 if args.microbatch else {})
         trainer = RefineTrainer(cfg, mesh, learning_rate=args.lr,
                                 total_steps=args.steps,
                                 warmup_steps=args.warmup,
-                                clip_norm=args.clip)
+                                clip_norm=args.clip, **mb_kw)
         zero = jnp.zeros((H, W, 3))
         coarse_vars = jax.jit(trainer.front.coarse.init)(key, zero, zero)
         coarse_vars = _maybe_overlay(coarse_vars, args.init_coarse)
