@@ -82,3 +82,41 @@ def test_build_dataset_option_string():
     got = build_dataset(cfg)
     assert len(got) == 2 and got.wh == (320, 240)
     assert got.baseline_deg == 8.5
+
+
+def test_texture_families_distinct_and_renderable():
+    """waves (held-out) and mixed (training) families render valid
+    uint8 textures with family-distinct statistics, and the eval option
+    string accepts texture= (configs/synthetic_waves3.yaml)."""
+    import numpy as np
+
+    from pats_tpu.data.synthetic_pairs import (_TEXTURE_FAMILIES,
+                                               SyntheticPlanePairs)
+
+    rng = np.random.default_rng(3)
+    imgs = {}
+    for name, fn in _TEXTURE_FAMILIES.items():
+        t = fn(rng, 256)
+        assert t.shape == (256, 256, 3) and t.dtype == np.uint8, name
+        assert t.std() > 20, (name, t.std())  # textured, not flat
+        imgs[name] = t
+
+    ds = SyntheticPlanePairs(n_pairs=1, width=128, height=128,
+                             texture="waves", seed=1)
+    it = ds[0]
+    assert it["image0"].shape == (128, 128, 3)
+
+
+def test_mixed_texture_plane_example():
+    """--texture mixed plumbs through plane_pair_example unchanged in
+    label semantics (labels stay exact for whatever texture renders)."""
+    import numpy as np
+
+    from pats_tpu.data.synthetic_pairs import plane_pair_example
+
+    ex = plane_pair_example(np.random.default_rng(5), 128, 0, 12.0,
+                            "mixed")
+    assert ex["left"].shape == (128, 128, 3)
+    raw = ex["labels_raw"]
+    inside = raw[:, 0] > -0.5
+    assert inside.any()          # some positives exist

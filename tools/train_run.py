@@ -165,6 +165,11 @@ def main():
                          "textures, or two-depth plane renders with exact "
                          "analytic labels (in-domain with the synthetic "
                          "pose-AUC protocol, configs/synthetic_trained.yaml)")
+    ap.add_argument("--texture", default="default",
+                    choices=("default", "blobs", "waves", "mixed"),
+                    help="--data plane texture family; 'mixed' samples "
+                         "default+blobs per render (waves stays held out "
+                         "for the cross-family eval)")
     ap.add_argument("--baseline-deg", type=float, default=12.0,
                     help="plane-pair camera baseline (degrees)")
     ap.add_argument("--dustbin-final", type=float, default=1.0,
@@ -262,7 +267,7 @@ def main():
                                                    plane_pair_example)
 
         hold_pairs = [plane_pair_example(hold_rng, args.size, level,
-                                         args.baseline_deg)
+                                         args.baseline_deg, args.texture)
                       for _ in range(args.eval_pairs)]
     else:
         train_imgs = textured_images(rng, args.train_images, H, W)
@@ -279,7 +284,8 @@ def main():
 
     if args.data == "plane":
         it = plane_batches(args.batch, args.size, level=level, seed=7,
-                           baseline_deg=args.baseline_deg)
+                           baseline_deg=args.baseline_deg,
+                           texture=args.texture)
     else:
         it = synthetic_batches(train_imgs, batch_size=args.batch,
                                level=level, seed=7, **warp_kw)
