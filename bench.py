@@ -109,6 +109,13 @@ def main():
     s, nv = fwd(variables, left, right, jnp.float32(0.0))
     np.asarray(s)
     compile_s = time.time() - t0
+    # occupancy: live final matches per pair.  Trained weights keep far
+    # more work alive through the cascade than random ones (the dead-item
+    # skip in the fused kernels then does little), so pairs/s is NOT
+    # comparable across weight regimes — this field shows which regime
+    # the number was measured in (random ~1094 ms/step vs trained ~2130
+    # at batch 4, same session, round 4).
+    matches_per_pair = round(float(np.asarray(nv)) / BATCH, 1)
 
     def chained(iters):
         p = jnp.float32(0.0)
@@ -170,6 +177,7 @@ def main():
         "init_s": round(init_s, 1),
         "device": str(jax.devices()[0]),
         "weights": weights,
+        "matches_per_pair": matches_per_pair,
     }
     if flops_per_pair is not None:
         result["tflop_per_pair"] = round(flops_per_pair / 1e12, 3)
