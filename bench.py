@@ -6,13 +6,29 @@ throughput-first configuration: bf16 MXU matmuls (transport/expansion
 numerics stay f32), the fused Pallas Sinkhorn, head-batched attention and
 a vmapped pair batch.  The reference publishes no speed numbers
 (BASELINE.md), so ``vs_baseline`` is reported against the first recorded
-value of this framework (bench_baseline.json).
+value of this framework in the SAME weight regime (random weights:
+bench_baseline.json, round 1; trained weights: bench_baseline_trained.json,
+round 4) — the regimes are not comparable to each other because trained
+heads keep most fixed-capacity slots alive (the dead-tile skip in the
+fused kernels then does little; docs/perf.md).
+
+Spell-proofing (round-4 verdict #2): the TPU tunnel has multi-minute slow
+spells (11.06 vs 2.13 s/step for the same binary within one hour —
+docs/perf.md), so a single 6-iteration sample is a lottery.  This bench
+compiles ONCE (the two regimes share the executable; weights are an
+argument), then times K interleaved rounds per regime and reports the
+per-regime BEST and median — a slow spell hits all rounds equally and the
+best round approximates the unthrottled device time (same design as
+tools/bench_ab.py, validated round 4).
 
 Timing: dependency-chained executions with ONE final host fetch - the TPU
 tunnel has 30-135 ms round-trip latency and a broken block_until_ready, so
 both per-call syncs and un-chained async dispatch mis-measure.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...};
+``value``/``vs_baseline`` are the TRAINED regime when a checkpoint is
+present (the regime that matters for deployment), with both regimes'
+best/median detailed under "regimes".
 """
 
 from __future__ import annotations
@@ -33,10 +49,13 @@ import numpy as np
 
 H, W = 480, 640
 BATCH = 4
-WARMUP = 1
-ITERS = 6
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
+ITERS = 3        # chained steps per timing round
+ROUNDS = 5       # interleaved rounds per regime
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINES = {
+    "random": os.path.join(_HERE, "bench_baseline.json"),
+    "trained": os.path.join(_HERE, "bench_baseline_trained.json"),
+}
 
 
 def _bf16_peak_flops(device) -> float:
@@ -54,13 +73,25 @@ def _bf16_peak_flops(device) -> float:
     return 0.0
 
 
+def _baseline(regime: str, measured: float) -> float:
+    """Per-regime first-recorded baseline (written on first measurement)."""
+    path = BASELINES[regime]
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["value"]
+    with open(path, "w") as f:
+        json.dump({"metric": "pairs_per_s_640x480", "value": measured,
+                   "regime": regime, "device": str(jax.devices()[0])}, f)
+    return measured
+
+
 def main():
     from pats_tpu.config import ModelConfig
     from pats_tpu.models.cascade import PATSCascade, PATSCascadeBatched
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    # PATS_BENCH_SINKHORN_TOL=1e-4 A/Bs the Sinkhorn early exit (plans are
-    # f32-exact well before the reference's fixed 100 iterations)
+    # PATS_BENCH_SINKHORN_TOL A/Bs the Sinkhorn early exit against the
+    # reference's fixed 100 iterations (set to 0 to disable)
     tol = float(os.environ.get("PATS_BENCH_SINKHORN_TOL", "0"))
     mc = dataclasses.replace(ModelConfig(), use_bfloat16=True,
                              use_pallas_sinkhorn=on_tpu,
@@ -73,25 +104,25 @@ def main():
     left1 = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
 
     t0 = time.time()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), left1, left1)
+    random_vars = jax.jit(model.init)(jax.random.PRNGKey(0), left1, left1)
     init_s = time.time() - t0
 
     # trained weights when present (round-3 verdict #8): occupancy-
     # dependent costs (dead-item skip, Sinkhorn early exit) shift under
     # trained weights, so the bench measures the regime that matters;
-    # random-weight fallback keeps cold environments working.
-    # in-repo default: /root/ckpts did not survive round boundaries, so
-    # the committed ckpts/ tree is the only path the driver's bench sees
+    # the random regime is ALSO measured each run for continuity with the
+    # r1-r3 artifact history.  In-repo default: /root/ckpts did not
+    # survive round boundaries, so the committed ckpts/ tree is the only
+    # path the driver's bench sees.
     ckpt = os.environ.get(
-        "PATS_BENCH_CKPT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "ckpts", "r4_full"))
+        "PATS_BENCH_CKPT", os.path.join(_HERE, "ckpts", "r4_full"))
+    regimes = {"random": random_vars}
     weights = "random"
     if os.path.isdir(ckpt):
         try:
             from pats_tpu.io.checkpoint import load_matcher_checkpoint
 
-            variables = load_matcher_checkpoint(ckpt, variables)
+            regimes["trained"] = load_matcher_checkpoint(ckpt, random_vars)
             weights = ckpt
         except Exception as e:  # noqa: BLE001 - bench must not break CI
             print(f"# checkpoint load failed, using random weights: {e!r}")
@@ -105,19 +136,13 @@ def main():
                               mutable=["batch_stats"])
         return out["matches_r"][0, 0, 0], out["valid"].sum()
 
+    # ONE compile for all regimes (weights are a traced argument)
     t0 = time.time()
-    s, nv = fwd(variables, left, right, jnp.float32(0.0))
+    s, nv = fwd(random_vars, left, right, jnp.float32(0.0))
     np.asarray(s)
     compile_s = time.time() - t0
-    # occupancy: live final matches per pair.  Trained weights keep far
-    # more work alive through the cascade than random ones (the dead-item
-    # skip in the fused kernels then does little), so pairs/s is NOT
-    # comparable across weight regimes — this field shows which regime
-    # the number was measured in (random ~1094 ms/step vs trained ~2130
-    # at batch 4, same session, round 4).
-    matches_per_pair = round(float(np.asarray(nv)) / BATCH, 1)
 
-    def chained(iters):
+    def chained(variables, iters):
         p = jnp.float32(0.0)
         t0 = time.time()
         for _ in range(iters):
@@ -126,9 +151,37 @@ def main():
         np.asarray(p)
         return time.time() - t0
 
-    chained(WARMUP)
-    elapsed = chained(ITERS)
-    pairs_per_s = ITERS * BATCH / elapsed
+    # occupancy: live final matches per pair.  Trained weights keep far
+    # more work alive through the cascade than random ones, so pairs/s is
+    # NOT comparable across regimes (random ~1094 ms/step vs trained
+    # ~2130 at batch 4, same session, round 4).
+    stats = {}
+    for name, variables in regimes.items():
+        _, nv = fwd(variables, left, right, jnp.float32(0.0))
+        stats[name] = {
+            "matches_per_pair": round(float(np.asarray(nv)) / BATCH, 1)}
+        chained(variables, 1)   # per-regime warmup (donation/layout)
+
+    # interleaved rounds: a tunnel slow spell hits both regimes alike
+    times = {name: [] for name in regimes}
+    for _ in range(ROUNDS):
+        for name, variables in regimes.items():
+            times[name].append(chained(variables, ITERS) / ITERS)
+
+    for name in regimes:
+        ts = sorted(times[name])
+        best, med = ts[0], ts[len(ts) // 2]
+        st = stats[name]
+        st["best_step_ms"] = round(1000 * best, 2)
+        st["median_step_ms"] = round(1000 * med, 2)
+        st["spread"] = round(ts[-1] / ts[0], 2)
+        st["best_pairs_per_s"] = round(ITERS * BATCH / (ITERS * best), 4)
+        st["vs_baseline"] = round(
+            st["best_pairs_per_s"] / _baseline(name, st["best_pairs_per_s"]),
+            4)
+
+    headline = "trained" if "trained" in regimes else "random"
+    pairs_per_s = stats[headline]["best_pairs_per_s"]
 
     # ---- MFU accounting (round-3 verdict item 3/4) ----
     # MXU FLOPs from the analytic jaxpr walk (utils/flops.py): exact
@@ -149,35 +202,29 @@ def main():
         flops_per_pair = matmul_flops(
             lambda v, l, r: xmodel.apply(v, l, r,
                                          mutable=["batch_stats"])[0],
-            variables, left, right) / BATCH
+            regimes[headline], left, right) / BATCH
         peak = _bf16_peak_flops(jax.devices()[0])
         if peak:
             mfu = pairs_per_s * flops_per_pair / peak
     except Exception as e:      # noqa: BLE001 - accounting must not break CI
         print(f"# mfu accounting unavailable: {e!r}")
 
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            base = json.load(f)["value"]
-    else:
-        base = pairs_per_s
-        with open(BASELINE_FILE, "w") as f:
-            json.dump({"metric": "pairs_per_s_640x480",
-                       "value": pairs_per_s,
-                       "device": str(jax.devices()[0])}, f)
-
     result = {
         "metric": "pairs_per_s_640x480",
-        "value": round(pairs_per_s, 4),
+        "value": pairs_per_s,
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / base, 4),
+        "vs_baseline": stats[headline]["vs_baseline"],
+        "regime": headline,
         "batch": BATCH,
-        "step_ms": round(1000 * elapsed / ITERS, 2),
+        "step_ms": stats[headline]["best_step_ms"],
+        "rounds": ROUNDS,
+        "iters": ITERS,
         "compile_s": round(compile_s, 1),
         "init_s": round(init_s, 1),
         "device": str(jax.devices()[0]),
         "weights": weights,
-        "matches_per_pair": matches_per_pair,
+        "matches_per_pair": stats[headline]["matches_per_pair"],
+        "regimes": stats,
     }
     if flops_per_pair is not None:
         result["tflop_per_pair"] = round(flops_per_pair / 1e12, 3)

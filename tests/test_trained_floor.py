@@ -29,10 +29,15 @@ pytestmark = pytest.mark.slow
 # skipped these floors — in-tree artifacts are the only durable option.
 _CKPTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       os.pardir, "ckpts")
-R3_CKPT = os.environ.get("PATS_R3_CKPT",
-                         os.path.join(_CKPTS, "r4_full"))
-R4_CKPT = os.environ.get("PATS_TRAINED_CKPT",
-                         os.path.join(_CKPTS, "r4_full"))
+# Both floors run against the same committed full-cascade tree by
+# default; the names describe WHICH LEVELS each floor exercises (advisor
+# round 4: the old R3_/R4_ names implied distinct checkpoints that no
+# longer exist).  Override with PATS_COARSE_FINE_CKPT / PATS_TRAINED_CKPT.
+COARSE_FINE_CKPT = os.environ.get(
+    "PATS_COARSE_FINE_CKPT",
+    os.environ.get("PATS_TRAINED_CKPT", os.path.join(_CKPTS, "r4_full")))
+FULL_CKPT = os.environ.get("PATS_TRAINED_CKPT",
+                           os.path.join(_CKPTS, "r4_full"))
 
 
 def _epi_stats(ckpt, max_level, n_pairs=3):
@@ -60,24 +65,24 @@ def _epi_stats(ckpt, max_level, n_pairs=3):
     return stats
 
 
-@pytest.mark.skipif(not os.path.isdir(R3_CKPT),
-                    reason=f"no trained checkpoint at {R3_CKPT}")
+@pytest.mark.skipif(not os.path.isdir(COARSE_FINE_CKPT),
+                    reason=f"no trained checkpoint at {COARSE_FINE_CKPT}")
 def test_coarse_fine_floor():
     """8-px-stage floor (the round-3 numbers, re-pinned on the r4
     checkpoint's coarse+fine levels at max_level 2)."""
-    stats = _epi_stats(R3_CKPT, max_level=2)
+    stats = _epi_stats(COARSE_FINE_CKPT, max_level=2)
     for i, (n, med, frac2) in enumerate(stats):
         assert n >= 500, f"pair {i}: only {n} matches"
         assert med <= 20.0, f"pair {i}: median epipolar {med:.2f}px"
     assert np.mean([s[2] for s in stats]) >= 0.15, stats
 
 
-@pytest.mark.skipif(not os.path.isdir(R4_CKPT),
-                    reason=f"no trained checkpoint at {R4_CKPT}")
+@pytest.mark.skipif(not os.path.isdir(FULL_CKPT),
+                    reason=f"no trained checkpoint at {FULL_CKPT}")
 def test_r4_full_cascade_floor():
     """3-level floor: refine's 2-px granularity must beat the 8-px
     stage's epipolar stats, not just match them."""
-    stats = _epi_stats(R4_CKPT, max_level=3)
+    stats = _epi_stats(FULL_CKPT, max_level=3)
     for i, (n, med, frac2) in enumerate(stats):
         assert n >= 500, f"pair {i}: only {n} matches"
         assert med <= 10.0, f"pair {i}: median epipolar {med:.2f}px"

@@ -91,18 +91,33 @@ def main():
             ModelConfig(), use_bfloat16=True, use_pallas_sinkhorn=on_tpu,
             use_fused_attention=on_tpu, **overrides)
         model = PATSCascadeBatched(config=mc, outdoor=True, merge_new=True)
+        one = jnp.zeros((H, W, 3), jnp.float32)
+        imodel = PATSCascade(config=mc, outdoor=True, merge_new=True)
         if variables is None:
             # init through the UNBATCHED cascade (bench.py idiom) — the
             # batched variant shares the identical param tree
-            one = jnp.zeros((H, W, 3), jnp.float32)
-            imodel = PATSCascade(config=mc, outdoor=True, merge_new=True)
             variables = jax.jit(imodel.init)(jax.random.PRNGKey(0),
                                              one, one)
+            ref_shapes = jax.tree.map(jnp.shape, variables)
             if os.path.isdir(args.ckpt):
                 from pats_tpu.io.checkpoint import load_matcher_checkpoint
 
                 variables = load_matcher_checkpoint(args.ckpt, variables)
                 print(f"# weights: {args.ckpt}")
+        else:
+            # the ONE variables tree is shared across variants, so an
+            # override that changes the param tree (gnn_layers,
+            # descriptor_dim, ...) would silently mis-measure later
+            # variants (advisor round 4) — reject it up front
+            shapes = jax.tree.map(
+                jnp.shape, jax.eval_shape(
+                    lambda k: imodel.init(k, one, one),
+                    jax.random.PRNGKey(0)))
+            if shapes != ref_shapes:
+                raise SystemExit(
+                    f"variant {name!r}: overrides change the parameter "
+                    "tree; only param-shape-neutral keys (sinkhorn_tol, "
+                    "use_* toggles) can be A/B'd against shared weights")
 
         def make_fwd(model):
             @jax.jit

@@ -178,6 +178,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    if args.microbatch is not None:
+        if args.microbatch <= 0:
+            ap.error(f"--microbatch must be > 0 (got {args.microbatch})")
+        if args.level == "coarse":
+            ap.error("--microbatch applies to --level fine/refine only "
+                     "(the coarse trainer has no gradient accumulation)")
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -217,7 +224,7 @@ def main():
         from pats_tpu.train.fine_trainer import FineTrainer
 
         mb_kw = ({"microbatch": args.microbatch}
-                 if args.microbatch else {})
+                 if args.microbatch is not None else {})
         trainer = FineTrainer(cfg, mesh, learning_rate=args.lr,
                               total_steps=args.steps,
                               warmup_steps=args.warmup,
@@ -239,7 +246,7 @@ def main():
         from pats_tpu.train.refine_trainer import RefineTrainer
 
         mb_kw = ({"microbatch": args.microbatch}
-                 if args.microbatch else {})
+                 if args.microbatch is not None else {})
         trainer = RefineTrainer(cfg, mesh, learning_rate=args.lr,
                                 total_steps=args.steps,
                                 warmup_steps=args.warmup,

@@ -46,9 +46,19 @@ def main():
     ap.add_argument("--name", required=True)
     ap.add_argument("--path", required=True)
     ap.add_argument("--provenance", required=True)
+    ap.add_argument("--committed", action="store_true",
+                    help="mark the artifact as committed to the repo "
+                         "(default: gitignored intermediate)")
     args = ap.parse_args()
 
+    # fail fast: a missing/empty directory would otherwise record the
+    # empty-input SHA-256 (e3b0c44...) as if it were real provenance
+    if not os.path.isdir(args.path):
+        raise SystemExit(f"not a directory: {args.path}")
     digest, nbytes = dir_sha256(args.path)
+    if nbytes == 0:
+        raise SystemExit(f"hashed zero bytes under {args.path}; refusing "
+                         "to record empty-tree provenance")
     manifest = {}
     if os.path.exists(MANIFEST):
         with open(MANIFEST) as f:
@@ -58,6 +68,7 @@ def main():
         "sha256_of_tree": digest,
         "bytes": nbytes,
         "provenance": args.provenance,
+        "committed": args.committed,
     }
     with open(MANIFEST, "w") as f:
         json.dump(manifest, f, indent=1)
