@@ -47,6 +47,14 @@ def main(argv=None):
                              "tools/train_run.py --save output)")
     parser.add_argument("--platform", type=str, default=None,
                         choices=("cpu", "tpu", "axon"))
+    parser.add_argument("--backend", default="ba", choices=("chain", "ba"),
+                        help="'chain': unit-baseline two-view chaining "
+                             "(scale drift accumulates); 'ba': landmark "
+                             "scale propagation + multi-view-track bundle "
+                             "adjustment (slam/vo.py)")
+    parser.add_argument("--ablate", action="store_true",
+                        help="run BOTH backends on the same matches-free "
+                             "frames and report both ATEs")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -73,16 +81,31 @@ def main(argv=None):
     first = frames_src._load(frames_src.names[0])
     frames = [first] + frames
 
-    centers = sequence_trajectory(matcher, frames, K, args.threshold_px)
-    traj = np.asarray(centers)
-    out = {"frames": len(traj)}
+    from pats_tpu.slam.vo import sequence_trajectory_ba
+
+    backends = ("chain", "ba") if args.ablate else (args.backend,)
+    trajs = {}
+    for backend in backends:
+        if backend == "ba":
+            centers = sequence_trajectory_ba(matcher, frames, K,
+                                             args.threshold_px)
+        else:
+            centers = sequence_trajectory(matcher, frames, K,
+                                          args.threshold_px)
+        trajs[backend] = np.asarray(centers)
+
+    traj = trajs[backends[-1]]
+    out = {"frames": len(traj), "backend": backends[-1]}
     if args.gt:
         import jax.numpy as jnp
 
-        gt = load_gt_trajectory(args.gt)[:len(traj)]
-        ate = float(absolute_trajectory_error(
-            jnp.asarray(traj, jnp.float32), jnp.asarray(gt, jnp.float32)))
-        out["ate_rmse"] = ate
+        gt = load_gt_trajectory(args.gt)
+        for backend, tr in trajs.items():
+            ate = float(absolute_trajectory_error(
+                jnp.asarray(tr, jnp.float32),
+                jnp.asarray(gt[:len(tr)], jnp.float32)))
+            out["ate_rmse_" + backend] = ate
+        out["ate_rmse"] = out["ate_rmse_" + backends[-1]]
     for i, c in enumerate(traj):
         print(f"frame {i}: center {c.tolist()}")
     print(json.dumps(out))
