@@ -89,6 +89,15 @@ class ModelConfig:
     # 1e-4 converges 2-3x earlier with plan differences below f32 noise
     # (throughput mode).
     sinkhorn_tol: float = 0.0
+    # Capacity-bucketed refine: when > 0, the level-3 point batch gets a
+    # second compiled branch at ceil(frac * 16G) capacity and the graph
+    # picks it (lax.cond, one executable, no host sync) whenever every
+    # pair's surviving cell count fits.  Trained occupancy measures ~47%
+    # of the worst-case 16G capacity (docs/perf.md), so 0.5 roughly
+    # halves the point-indexed refine work (GNN + OT + unfold) on
+    # typical pairs while keeping the exact full-capacity fallback.
+    # 0 = off (always full capacity, the reference-parity default).
+    refine_bucket: float = 0.0
     # Deepest cascade level to run: 3 = full sub-pixel cascade (the
     # reference's only mode), 2 = stop after the fine level (8-px
     # matches, one per surviving 12x12 cell), 1 = coarse-only (32-px

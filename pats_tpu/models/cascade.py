@@ -21,6 +21,7 @@ mask; host code compacts it after the device step.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -212,7 +213,7 @@ class PATSCascade(nn.Module):
             r2["cell_alive"], r2["pts"], G)
 
         rcfg = cfg.refine
-        r3 = SubpixelRefiner(
+        refiner = SubpixelRefiner(
             descriptor_dim=rcfg.descriptor_dim, gnn_layers=rcfg.gnn_layers,
             num_heads=rcfg.num_heads,
             sinkhorn_iterations=rcfg.sinkhorn_iterations,
@@ -223,17 +224,42 @@ class PATSCascade(nn.Module):
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
             sinkhorn_tol=cfg.sinkhorn_tol,
             use_running_average=not cfg.refine_batch_stats,
-            dtype=dtype, name="refine")(
-            left_crops, right_crops, r2["tokens0"], r2["tokens1"],
-            point_pid, point_cell, point_tgt, point_valid,
-            # level-3 batch statistics run over patches SURVIVING level 2
-            # (the reference filters with if_ndelete before third_layer,
-            # pats.py:40-56) — coarse-alive would add dead patches to the
-            # BN batch and drift every feature (round-3 indoor parity bug)
-            r1["alive"] & jnp.any(r2["cell_alive"], axis=-1))
+            dtype=dtype, name="refine")
+        # level-3 batch statistics run over patches SURVIVING level 2
+        # (the reference filters with if_ndelete before third_layer,
+        # pats.py:40-56) — coarse-alive would add dead patches to the
+        # BN batch and drift every feature (round-3 indoor parity bug)
+        kept = r1["alive"] & jnp.any(r2["cell_alive"], axis=-1)
+
+        def run_refine(mdl, pid, cellv, tgtv, validv):
+            r = mdl(left_crops, right_crops, r2["tokens0"], r2["tokens1"],
+                    pid, cellv, tgtv, validv, kept)
+            return r["mkpts1"], r["valid16"]
+
+        K3 = 16 * G
+        if cfg.refine_bucket:
+            # see PATSCascadeBatched: device-side half-capacity branch
+            Kb = max(1, int(math.ceil(cfg.refine_bucket * K3)))
+            count = jnp.sum(r2["cell_alive"].astype(jnp.int32))
+
+            def small(mdl):
+                mk, v16 = run_refine(mdl, point_pid[:Kb], point_cell[:Kb],
+                                     point_tgt[:Kb], point_valid[:Kb])
+                return (jnp.pad(mk, ((0, K3 - Kb), (0, 0), (0, 0))),
+                        jnp.pad(v16, ((0, K3 - Kb), (0, 0))))
+
+            def big(mdl):
+                return run_refine(mdl, point_pid, point_cell, point_tgt,
+                                  point_valid)
+
+            mkpts1, valid16_raw = nn.cond(count <= Kb, small, big, refiner)
+        else:
+            mkpts1, valid16_raw = run_refine(refiner, point_pid,
+                                             point_cell, point_tgt,
+                                             point_valid)
 
         matches_l, matches_r, valid = finish_matches(
-            r3["mkpts1"], r3["valid16"], point_valid, order, center,
+            mkpts1, valid16_raw, point_valid, order, center,
             crop_scale, gh, gw, self.outdoor)
 
         return {
@@ -400,7 +426,7 @@ class PATSCascadeBatched(nn.Module):
             jnp.repeat(jnp.arange(B, dtype=jnp.int32), K3))
 
         rcfg = cfg.refine
-        r3 = SubpixelRefiner(
+        refiner = SubpixelRefiner(
             descriptor_dim=rcfg.descriptor_dim, gnn_layers=rcfg.gnn_layers,
             num_heads=rcfg.num_heads,
             sinkhorn_iterations=rcfg.sinkhorn_iterations,
@@ -411,14 +437,52 @@ class PATSCascadeBatched(nn.Module):
             pallas_sinkhorn=cfg.use_pallas_sinkhorn,
             sinkhorn_tol=cfg.sinkhorn_tol,
             use_running_average=not cfg.refine_batch_stats,
-            dtype=dtype, name="refine")(
-            flat(left_crops), flat(right_crops), r2["tokens0"],
-            r2["tokens1"], point_pid, point_cell, point_tgt, point_valid,
-            # post-level-2 kept mask (reference if_ndelete, pats.py:40-56)
-            flat(r1["alive"]) & jnp.any(cell_alive.reshape(B * G, 144),
-                                        axis=-1),
-            patch_pair=patch_pair,
-            point_pair=point_pair, num_pairs=B)
+            dtype=dtype, name="refine")
+        lc, rc = flat(left_crops), flat(right_crops)
+        # post-level-2 kept mask (reference if_ndelete, pats.py:40-56)
+        kept = flat(r1["alive"]) & jnp.any(cell_alive.reshape(B * G, 144),
+                                           axis=-1)
+
+        def run_refine(mdl, pid, cellv, tgtv, validv, ppair, npairs):
+            r = mdl(lc, rc, r2["tokens0"], r2["tokens1"], pid, cellv,
+                    tgtv, validv, kept, patch_pair=patch_pair,
+                    point_pair=ppair, num_pairs=npairs)
+            return r["mkpts1"], r["valid16"]
+
+        if cfg.refine_bucket:
+            # capacity-bucketed refine: a half-capacity branch taken on
+            # device (lax.cond — one executable, no host sync) whenever
+            # every pair's surviving cell count fits; points are
+            # alive-first per pair, so the slice keeps every live point
+            Kb = max(1, int(math.ceil(cfg.refine_bucket * K3)))
+            counts = jnp.sum(cell_alive.astype(jnp.int32), axis=1)
+
+            def cut(x):
+                return x.reshape((B, K3) + x.shape[1:])[:, :Kb].reshape(
+                    (B * Kb,) + x.shape[1:])
+
+            def small(mdl):
+                mk, v16 = run_refine(mdl, cut(point_pid), cut(point_cell),
+                                     cut(point_tgt), cut(point_valid),
+                                     cut(point_pair), B)
+                mk = jnp.pad(mk.reshape((B, Kb) + mk.shape[1:]),
+                             ((0, 0), (0, K3 - Kb), (0, 0), (0, 0)))
+                v16 = jnp.pad(v16.reshape((B, Kb) + v16.shape[1:]),
+                              ((0, 0), (0, K3 - Kb), (0, 0)))
+                return (mk.reshape((B * K3,) + mk.shape[2:]),
+                        v16.reshape((B * K3,) + v16.shape[2:]))
+
+            def big(mdl):
+                return run_refine(mdl, point_pid, point_cell, point_tgt,
+                                  point_valid, point_pair, B)
+
+            mkpts1, valid16_raw = nn.cond(jnp.max(counts) <= Kb,
+                                          small, big, refiner)
+        else:
+            mkpts1, valid16_raw = run_refine(refiner, point_pid,
+                                             point_cell, point_tgt,
+                                             point_valid, point_pair, B)
+        r3 = {"mkpts1": mkpts1, "valid16": valid16_raw}
 
         if self.outdoor:
             valid16 = r3["valid16"] & point_valid[:, None]
