@@ -64,6 +64,7 @@ def sequence_trajectory_ba(matcher, frames, K: np.ndarray,
                            ba_iters: int = 10,
                            ba_every: int = 0,
                            min_scale_assoc: int = 8,
+                           max_track_cap: int = 10,
                            return_graph: bool = False):
     """Camera centers for a frame sequence via scale-propagated VO + BA.
 
@@ -163,12 +164,16 @@ def sequence_trajectory_ba(matcher, frames, K: np.ndarray,
 
         if ba_every and i % ba_every == 0 and len(g.keyframes) > 2:
             g.optimize(iters=ba_iters, window=2 * ba_every,
-                       max_track=len(g.keyframes) + 1)
+                       max_track=min(len(g.keyframes) + 1, max_track_cap))
 
     if len(g.landmarks):
-        # max_track covers the longest possible track so the sparse Schur
-        # solve never degrades to its block-Jacobi overflow path
+        # the Schur cross terms are quadratic in the track-table width
+        # (P, T, T, 6, 6): T = 25 on a 24-frame sequence OOM'd a 16 GB
+        # v5e (~17 GB with remat copies).  Cap T — observations beyond
+        # it still contribute to U/V/b exactly; only the camera coupling
+        # of the overflow tail degrades to block-Jacobi
+        # (ba.build_point_tracks docstring).
         g.optimize(iters=ba_iters, window=None,
-                   max_track=len(g.keyframes) + 1)
+                   max_track=min(len(g.keyframes) + 1, max_track_cap))
     centers = g.trajectory()
     return (centers, g) if return_graph else centers
