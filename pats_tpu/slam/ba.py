@@ -53,8 +53,16 @@ def _exp_so3(w):
             + (1 - jnp.cos(theta)) * (K @ K))
 
 
-def _residual_jacobians(prob: BAProblem):
-    """Per-observation residuals + camera/point Jacobian blocks."""
+def _residual_jacobians(prob: BAProblem, huber_delta: float = 0.0):
+    """Per-observation residuals + camera/point Jacobian blocks.
+
+    ``huber_delta`` > 0 applies the standard IRLS/Triggs robust
+    weighting: residual and Jacobians scale by sqrt(min(1, delta/|r|)),
+    so observations past delta (normalized-coordinate units) contribute
+    linearly instead of quadratically — without it a handful of
+    mismatched PATS correspondences (triangulated to garbage) dominates
+    the normal equations and Gauss-Newton diverges (NaN on the round-5
+    demo sequence)."""
     Rc = prob.R[prob.cam_idx]                     # (O, 3, 3)
     tc = prob.t[prob.cam_idx]                     # (O, 3)
     Xp = prob.X[prob.pt_idx]                      # (O, 3)
@@ -76,6 +84,10 @@ def _residual_jacobians(prob: BAProblem):
     # point: d pc/d X = R
     B = jnp.einsum("oij,ojk->oik", dproj, Rc)     # (O, 2, 3)
     w = prob.valid[:, None].astype(r.dtype)
+    if huber_delta > 0.0:
+        rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
+        w = w * jnp.sqrt(jnp.minimum(1.0, huber_delta
+                                     / jnp.maximum(rn, 1e-12)))
     return r * w, A * w[..., None], B * w[..., None]
 
 
@@ -110,7 +122,7 @@ def build_point_tracks(pt_idx, valid, num_points: int,
 def gauss_newton_step(prob: BAProblem, damping: float = 1e-4,
                       axis_name: Optional[str] = None,
                       tracks: Optional[jnp.ndarray] = None,
-                      n_fixed: int = 1
+                      n_fixed: int = 1, huber_delta: float = 0.0
                       ) -> Tuple[BAProblem, jnp.ndarray]:
     """One damped GN step; returns (updated problem, mean sq residual).
 
@@ -131,7 +143,7 @@ def gauss_newton_step(prob: BAProblem, damping: float = 1e-4,
         raise ValueError("tracks path is single-device (no axis_name)")
     M = prob.R.shape[0]
     P = prob.X.shape[0]
-    r, A, B = _residual_jacobians(prob)
+    r, A, B = _residual_jacobians(prob, huber_delta)
 
     U = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", A, A),
                             prob.cam_idx, num_segments=M)   # (M, 6, 6)
@@ -224,13 +236,14 @@ def run_bundle_adjustment(prob: BAProblem, iters: int = 10,
                           damping: float = 1e-4,
                           axis_name: Optional[str] = None,
                           tracks: Optional[jnp.ndarray] = None,
-                          n_fixed: int = 1
+                          n_fixed: int = 1, huber_delta: float = 0.0
                           ) -> Tuple[BAProblem, jnp.ndarray]:
     """Run ``iters`` GN steps; returns final problem + residual history."""
 
     def body(carry, _):
         p, _ = carry
-        p2, mse = gauss_newton_step(p, damping, axis_name, tracks, n_fixed)
+        p2, mse = gauss_newton_step(p, damping, axis_name, tracks, n_fixed,
+                                    huber_delta)
         return (p2, mse), mse
 
     (prob, _), hist = jax.lax.scan(body, (prob, jnp.asarray(0.0)),

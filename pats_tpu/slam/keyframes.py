@@ -125,7 +125,8 @@ class KeyframeGraph:
             self.obs_uv += [x0[j], x1[j]]
 
     def optimize(self, iters: int = 5, damping: float = 1e-4,
-                 window: Optional[int] = None, max_track: int = 8) -> float:
+                 window: Optional[int] = None, max_track: int = 8,
+                 huber_px: float = 0.0, gate_px: float = 0.0) -> float:
         """Bundle-adjust the graph; returns final MSE.
 
         ``window=None``: full BA (camera 0 is the gauge anchor).
@@ -139,6 +140,12 @@ class KeyframeGraph:
         Both paths use the sparse track-table Schur solve (slam/ba.py
         ``tracks``), never materializing the dense (M, P, 6, 3) cross
         blocks.
+
+        ``huber_px`` > 0 robustifies the solve (IRLS sqrt-Huber weights
+        past that pixel error); ``gate_px`` > 0 drops observations whose
+        INITIAL reprojection error exceeds it (mismatches triangulated
+        to garbage otherwise dominate the normal equations — the
+        round-5 demo sequence diverged to NaN without both).
         """
         M = len(self.keyframes)
         if M < 2 or not self.landmarks:
@@ -173,6 +180,18 @@ class KeyframeGraph:
         cam_idx = cam_remap[obs_cam[keep_obs]]
         pt_idx = pt_remap[obs_pt[keep_obs]]
         valid = np.ones(len(keep_obs), bool)
+        f = float(np.mean([self.K[0, 0], self.K[1, 1]]))
+        if gate_px > 0.0:
+            # initial-reprojection outlier gate (normalized coords)
+            Rs = np.stack([self.keyframes[i].R for i in cam_order])
+            ts = np.stack([self.keyframes[i].t for i in cam_order])
+            Xs = np.stack([self.landmarks[j] for j in pt_sel])
+            pc = np.einsum("oij,oj->oi", Rs[cam_idx], Xs[pt_idx]) \
+                + ts[cam_idx]
+            z = np.maximum(pc[:, 2], 1e-6)
+            res = pc[:, :2] / z[:, None] - obs_uv[keep_obs]
+            valid &= (np.linalg.norm(res, axis=1) <= gate_px / f) \
+                & (pc[:, 2] > 1e-3)
         tracks = build_point_tracks(pt_idx, valid, len(pt_sel), max_track)
         prob = BAProblem(
             R=jnp.asarray(np.stack([self.keyframes[i].R
@@ -187,7 +206,8 @@ class KeyframeGraph:
             valid=jnp.asarray(valid))
         out, hist = run_bundle_adjustment(
             prob, iters=iters, damping=damping,
-            tracks=jnp.asarray(tracks), n_fixed=n_fixed)
+            tracks=jnp.asarray(tracks), n_fixed=n_fixed,
+            huber_delta=huber_px / f if huber_px > 0.0 else 0.0)
         R = np.asarray(out.R)
         t = np.asarray(out.t)
         # frozen cams get dx == 0; skip them to avoid an f32 round-trip

@@ -163,8 +163,9 @@ def sequence_trajectory_ba(matcher, frames, K: np.ndarray,
         lm_px.append(np.asarray(px_i, np.float32).reshape(-1, 2))
 
         if ba_every and i % ba_every == 0 and len(g.keyframes) > 2:
-            g.optimize(iters=ba_iters, window=2 * ba_every,
-                       max_track=min(len(g.keyframes) + 1, max_track_cap))
+            _safe_optimize(g, iters=ba_iters, window=2 * ba_every,
+                           max_track=min(len(g.keyframes) + 1,
+                                         max_track_cap))
 
     if len(g.landmarks):
         # the Schur cross terms are quadratic in the track-table width
@@ -173,7 +174,23 @@ def sequence_trajectory_ba(matcher, frames, K: np.ndarray,
         # it still contribute to U/V/b exactly; only the camera coupling
         # of the overflow tail degrades to block-Jacobi
         # (ba.build_point_tracks docstring).
-        g.optimize(iters=ba_iters, window=None,
-                   max_track=min(len(g.keyframes) + 1, max_track_cap))
+        _safe_optimize(g, iters=ba_iters, window=None,
+                       max_track=min(len(g.keyframes) + 1, max_track_cap))
     centers = g.trajectory()
     return (centers, g) if return_graph else centers
+
+
+def _safe_optimize(g: KeyframeGraph, **kwargs):
+    """BA with real-matcher hygiene: outlier gate + Huber weights, and a
+    full rollback if the solve still diverges (non-finite poses/points
+    must never replace a finite trajectory)."""
+    snap = ([ (kf.R.copy(), kf.t.copy()) for kf in g.keyframes ],
+            [x.copy() for x in g.landmarks])
+    g.optimize(huber_px=3.0, gate_px=8.0, **kwargs)
+    finite = all(np.isfinite(kf.R).all() and np.isfinite(kf.t).all()
+                 for kf in g.keyframes) \
+        and all(np.isfinite(x).all() for x in g.landmarks)
+    if not finite:
+        for kf, (R, t) in zip(g.keyframes, snap[0]):
+            kf.R, kf.t = R, t
+        g.landmarks[:] = snap[1]

@@ -67,6 +67,42 @@ def test_vo_recovers_variable_speed():
     assert ate_vo < ate_chain / 3
 
 
+class _NoisyOracle(_OracleMatcher):
+    """Oracle + gaussian pixel noise + 10% gross outliers: the regime
+    that diverged the unrobustified BA to NaN on the real demo run."""
+
+    def __init__(self, *a, noise_px=0.5, outlier_frac=0.1, **kw):
+        super().__init__(*a, **kw)
+        self._noise = noise_px
+        self._ofrac = outlier_frac
+        self._rng = np.random.default_rng(7)
+
+    def match(self, image_i, image_j):
+        pi, pj = super().match(image_i, image_j)
+        pj = pj + self._rng.normal(0, self._noise, pj.shape)
+        n_out = int(len(pj) * self._ofrac)
+        idx = self._rng.choice(len(pj), n_out, replace=False)
+        pj[idx] += self._rng.uniform(20, 60, (n_out, 2))
+        return pi.astype(np.float32), pj.astype(np.float32)
+
+
+def test_vo_survives_outliers():
+    n = 10
+    Rs, ts, cs = _accelerating_path(n)
+    K = np.array([[300.0, 0, 64], [0, 300.0, 64], [0, 0, 1]])
+    oracle = _NoisyOracle(Rs, ts, K, n_pts=400)
+    frames = [np.full((8, 8, 3), float(i), np.float32) for i in range(n)]
+    centers = sequence_trajectory_ba(oracle, frames, K, threshold_px=2.0,
+                                     assoc_px=2.5)
+    assert np.isfinite(np.asarray(centers)).all()
+    ate_vo = _ate(centers, cs)
+    chained = sequence_trajectory(oracle, frames, K, threshold_px=2.0)
+    ate_chain = _ate(chained, cs)
+    # robust BA must stay finite and still beat unit chaining
+    assert ate_vo < ate_chain, (ate_vo, ate_chain)
+    assert ate_vo < 0.15, ate_vo   # measured 0.11 with 10% gross outliers
+
+
 def test_vo_builds_multiview_tracks():
     """Scale coupling requires tracks seen by 3+ cameras — assert the
     association actually extends tracks instead of duplicating points."""
