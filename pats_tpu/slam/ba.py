@@ -84,11 +84,40 @@ def _residual_jacobians(prob: BAProblem, huber_delta: float = 0.0):
     # point: d pc/d X = R
     B = jnp.einsum("oij,ojk->oik", dproj, Rc)     # (O, 2, 3)
     w = prob.valid[:, None].astype(r.dtype)
+    # a point behind (or grazing) the camera plane has a clamped z and
+    # O(1/z^2) Jacobians that poison the normal equations — mask it out
+    # entirely rather than letting the clamp manufacture huge gradients
+    w = w * (pc[:, 2:3] > 1e-3).astype(r.dtype)
     if huber_delta > 0.0:
         rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
         w = w * jnp.sqrt(jnp.minimum(1.0, huber_delta
                                      / jnp.maximum(rn, 1e-12)))
     return r * w, A * w[..., None], B * w[..., None]
+
+
+def _robust_mse(prob: BAProblem, huber_delta: float = 0.0,
+                axis_name: Optional[str] = None):
+    """Huber-weighted mean squared residual (the LM acceptance cost) —
+    residuals only, no Jacobian work."""
+    Rc = prob.R[prob.cam_idx]
+    tc = prob.t[prob.cam_idx]
+    Xp = prob.X[prob.pt_idx]
+    pc = jnp.einsum("oij,oj->oi", Rc, Xp) + tc
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    r = pc[:, :2] / z[:, None] - prob.uv
+    w = prob.valid[:, None].astype(r.dtype)
+    w = w * (pc[:, 2:3] > 1e-3).astype(r.dtype)
+    if huber_delta > 0.0:
+        rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
+        w = w * jnp.sqrt(jnp.minimum(1.0, huber_delta
+                                     / jnp.maximum(rn, 1e-12)))
+    r = r * w
+    sq = jnp.sum(jnp.square(r))
+    denom = jnp.maximum(jnp.sum(prob.valid), 1)
+    if axis_name is not None:
+        sq = jax.lax.psum(sq, axis_name)
+        denom = jax.lax.psum(denom, axis_name)
+    return sq / denom
 
 
 def build_point_tracks(pt_idx, valid, num_points: int,
@@ -238,14 +267,33 @@ def run_bundle_adjustment(prob: BAProblem, iters: int = 10,
                           tracks: Optional[jnp.ndarray] = None,
                           n_fixed: int = 1, huber_delta: float = 0.0
                           ) -> Tuple[BAProblem, jnp.ndarray]:
-    """Run ``iters`` GN steps; returns final problem + residual history."""
+    """Run ``iters`` Levenberg-Marquardt steps; returns (problem, history).
+
+    ``damping`` seeds the LM lambda; each iteration proposes a damped GN
+    step, ACCEPTS it only if the Huber-weighted cost decreases (lambda /=
+    3), and otherwise keeps the state and retries stiffer (lambda *= 10).
+    Plain fixed-damping GN diverged to NaN on the round-5 VO problems —
+    the first overshoot raised the cost 2000x and the next normal
+    equations exploded; with rejection the cost history is monotone
+    non-increasing by construction, so a diverging step can never
+    propagate.  History entries are the accepted cost after each
+    iteration (a rejected iteration repeats the previous value)."""
+
+    cost0 = _robust_mse(prob, huber_delta, axis_name)
 
     def body(carry, _):
-        p, _ = carry
-        p2, mse = gauss_newton_step(p, damping, axis_name, tracks, n_fixed,
+        p, lam, cost = carry
+        cand, _ = gauss_newton_step(p, lam, axis_name, tracks, n_fixed,
                                     huber_delta)
-        return (p2, mse), mse
+        new_cost = _robust_mse(cand, huber_delta, axis_name)
+        good = jnp.isfinite(new_cost) & (new_cost <= cost)
+        p2 = jax.tree.map(lambda a, b: jnp.where(good, b, a), p, cand)
+        lam2 = jnp.clip(jnp.where(good, lam / 3.0, lam * 10.0),
+                        1e-8, 1e8)
+        c2 = jnp.where(good, new_cost, cost)
+        return (p2, lam2, c2), c2
 
-    (prob, _), hist = jax.lax.scan(body, (prob, jnp.asarray(0.0)),
-                                   length=iters)
+    (prob, _, _), hist = jax.lax.scan(
+        body, (prob, jnp.asarray(damping, jnp.float32), cost0),
+        length=iters)
     return prob, hist

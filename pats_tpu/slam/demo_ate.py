@@ -55,6 +55,14 @@ def main(argv=None):
     parser.add_argument("--ablate", action="store_true",
                         help="run BOTH backends on the same matches-free "
                              "frames and report both ATEs")
+    parser.add_argument("--ba-iters", type=int, default=30,
+                        help="LM iterations for the final bundle "
+                             "adjustment (slam/ba.py: step-rejecting "
+                             "Levenberg-Marquardt)")
+    parser.add_argument("--scale-mode", default="propagate",
+                        choices=("propagate", "unit"),
+                        help="BA initialization: landmark-depth scale "
+                             "propagation (default) or unit baselines")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -88,7 +96,9 @@ def main(argv=None):
     for backend in backends:
         if backend == "ba":
             centers = sequence_trajectory_ba(matcher, frames, K,
-                                             args.threshold_px)
+                                             args.threshold_px,
+                                             ba_iters=args.ba_iters,
+                                             scale_mode=args.scale_mode)
         else:
             centers = sequence_trajectory(matcher, frames, K,
                                           args.threshold_px)

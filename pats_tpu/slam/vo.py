@@ -61,10 +61,11 @@ def sequence_trajectory_ba(matcher, frames, K: np.ndarray,
                            threshold_px: float = 0.5,
                            assoc_px: float = 3.0,
                            max_points: int = 512,
-                           ba_iters: int = 10,
+                           ba_iters: int = 30,
                            ba_every: int = 0,
                            min_scale_assoc: int = 8,
                            max_track_cap: int = 10,
+                           scale_mode: str = "propagate",
                            return_graph: bool = False):
     """Camera centers for a frame sequence via scale-propagated VO + BA.
 
@@ -72,7 +73,17 @@ def sequence_trajectory_ba(matcher, frames, K: np.ndarray,
     many frames (windowed to 2*ba_every cameras); the full-graph BA at
     the end runs either way.  Returns (N, 3) centers, or (centers,
     KeyframeGraph) with ``return_graph``.
+
+    ``scale_mode`` picks the BA initialization: "propagate" recovers
+    each pair's metric scale from re-observed landmark depths (right
+    when the camera speed varies — the error unit chaining cannot
+    remove), "unit" keeps unit baselines like ``sequence_trajectory``
+    (a better init when the speed is near constant, since the depth-
+    ratio estimate adds multiplicative noise).  Either way the
+    multi-view tracks couple scale across pairs, so the final BA
+    re-estimates the relative baselines from the data.
     """
+    assert scale_mode in ("propagate", "unit"), scale_mode
     frames = list(frames)
     g = KeyframeGraph(K=np.asarray(K, np.float64))
     g.keyframes.append(Keyframe(0, np.eye(3), np.zeros(3)))
@@ -115,7 +126,9 @@ def sequence_trajectory_ba(matcher, frames, K: np.ndarray,
         # scale from depths of landmarks re-observed in frame i-1
         li, mi = _associate(lm_px[i - 1], ml_s, assoc_px)
         pair_scale = scale  # fallback: carry the previous pair's scale
-        if len(li) >= min_scale_assoc:
+        if scale_mode == "unit":
+            pair_scale = 1.0
+        elif len(li) >= min_scale_assoc:
             ids = lm_ids[i - 1][li]
             X_old = np.stack([g.landmarks[p] for p in ids])
             z_old = (X_old @ prev_kf.R.T + prev_kf.t)[:, 2]
