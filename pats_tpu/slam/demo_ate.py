@@ -47,11 +47,18 @@ def main(argv=None):
                              "tools/train_run.py --save output)")
     parser.add_argument("--platform", type=str, default=None,
                         choices=("cpu", "tpu", "axon"))
-    parser.add_argument("--backend", default="ba", choices=("chain", "ba"),
+    parser.add_argument("--backend", default="chain",
+                        choices=("chain", "ba"),
                         help="'chain': unit-baseline two-view chaining "
                              "(scale drift accumulates); 'ba': landmark "
                              "scale propagation + multi-view-track bundle "
-                             "adjustment (slam/vo.py)")
+                             "adjustment (slam/vo.py).  Default chain: on "
+                             "the constant-speed demo sequence it measures "
+                             "0.147 vs BA's 0.344 (round-5 ablation) — the "
+                             "depth-ratio scale estimate adds multiplicative "
+                             "noise real-matcher BA does not recover, while "
+                             "BA wins on the oracle ablations where tracks "
+                             "are clean (slam/vo.py docstring)")
     parser.add_argument("--ablate", action="store_true",
                         help="run BOTH backends on the same matches-free "
                              "frames and report both ATEs")
