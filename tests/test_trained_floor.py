@@ -40,7 +40,7 @@ FULL_CKPT = os.environ.get("PATS_TRAINED_CKPT",
                            os.path.join(_CKPTS, "r4_full"))
 
 
-def _epi_stats(ckpt, max_level, n_pairs=3):
+def _epi_stats(ckpt, max_level, n_pairs=3, texture="default", fx=400.0):
     from pats_tpu.config import load_config
     from pats_tpu.data.synthetic_pairs import SyntheticPlanePairs
     from pats_tpu.io.checkpoint import load_matcher_checkpoint
@@ -52,7 +52,8 @@ def _epi_stats(ckpt, max_level, n_pairs=3):
         "model": {"refine_batch_stats": True, "max_level": max_level}})
     m = Matcher(cfg, seed=0)
     m.variables = load_matcher_checkpoint(ckpt, m.variables)
-    ds = SyntheticPlanePairs(n_pairs=n_pairs, width=320, height=256, seed=0)
+    ds = SyntheticPlanePairs(n_pairs=n_pairs, width=320, height=256, seed=0,
+                             texture=texture, fx=fx)
     stats = []
     for i in range(n_pairs):
         it = ds[i]
@@ -75,6 +76,29 @@ def test_coarse_fine_floor():
         assert n >= 500, f"pair {i}: only {n} matches"
         assert med <= 20.0, f"pair {i}: median epipolar {med:.2f}px"
     assert np.mean([s[2] for s in stats]) >= 0.15, stats
+
+
+MIXED_CKPT = os.environ.get("PATS_MIXED_CKPT",
+                            os.path.join(_CKPTS, "r5_full"))
+
+
+@pytest.mark.skipif(not os.path.isdir(MIXED_CKPT),
+                    reason=f"no mixed checkpoint at {MIXED_CKPT}")
+@pytest.mark.parametrize("texture", ["blobs", "waves"])
+def test_mixed_family_floor(texture):
+    """Cross-family floor at the TRAINED apparent scale (round 5).
+
+    The mixed cascade (ckpts/r5_full) is family-even at 320x256/fx=200
+    — the scale the trainers render at — including the fully held-out
+    waves family (EVAL_r5b_waves_320.json auc@5 0.130 vs in-family
+    0.140); the 640-px collapse is a scale extrapolation, not family
+    memorization (STATUS.md round-5 diagnosis).  Floors at ~2x the
+    worst protocol pair so texture-family regressions (sampler, BN
+    recal, converter) fail loudly."""
+    stats = _epi_stats(MIXED_CKPT, max_level=3, texture=texture, fx=200.0)
+    for i, (n, med, frac2) in enumerate(stats):
+        assert n >= 1000, f"{texture} pair {i}: only {n} matches"
+        assert med <= 60.0, f"{texture} pair {i}: median epi {med:.2f}px"
 
 
 @pytest.mark.skipif(not os.path.isdir(FULL_CKPT),
