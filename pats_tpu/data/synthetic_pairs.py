@@ -357,15 +357,22 @@ class SyntheticPlaneLabels:
 
 def plane_pair_example(rng: np.random.Generator, size: int, level: int,
                        baseline_deg: float = 12.0,
-                       texture: str = "default"):
+                       texture: str = "default", fx_scale: float = 1.0):
     """One training example from a fresh two-depth plane render: left /
     right images + raw labels at the level's granularity (32/8/2 px) —
     the in-domain training source for the synthetic pose-AUC protocol
-    (configs/synthetic_trained.yaml)."""
+    (configs/synthetic_trained.yaml).
+
+    ``fx_scale`` > 1 narrows the FOV at a fixed canvas, magnifying the
+    apparent texture feature size — scale augmentation without changing
+    any array shape.  fx_scale=2.5 on a 256-px canvas reproduces the
+    640-px protocol's feature scale (round-5 diagnosis: piecewise-flat
+    textures lose all fine-level texture at that zoom when the model
+    only ever trained at 1x)."""
     from pats_tpu.train.labels import to_level_labels
 
     seed = int(rng.integers(0, 2 ** 31 - 1))
-    fx = 400.0 * size / 640.0
+    fx = 400.0 * size / 640.0 * fx_scale
     ds = SyntheticPlanePairs(n_pairs=1, width=size, height=size, fx=fx,
                              seed=seed, baseline_deg=baseline_deg,
                              texture=texture)
@@ -384,11 +391,16 @@ def plane_pair_example(rng: np.random.Generator, size: int, level: int,
 
 def plane_batches(batch_size: int, size: int, level: int = 0,
                   seed: int = 18027, baseline_deg: float = 12.0,
-                  texture: str = "default"):
+                  texture: str = "default", fx_jitter=None):
     """Endless batches of fresh plane-pair examples (cf.
-    train/synthetic.synthetic_batches)."""
+    train/synthetic.synthetic_batches).  ``fx_jitter=(lo, hi)`` samples a
+    per-example ``fx_scale`` uniformly — scale augmentation at constant
+    shapes (one executable)."""
     rng = np.random.default_rng(seed)
     while True:
-        buf = [plane_pair_example(rng, size, level, baseline_deg, texture)
-               for _ in range(batch_size)]
+        buf = []
+        for _ in range(batch_size):
+            fs = float(rng.uniform(*fx_jitter)) if fx_jitter else 1.0
+            buf.append(plane_pair_example(rng, size, level, baseline_deg,
+                                          texture, fx_scale=fs))
         yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}

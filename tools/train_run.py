@@ -172,6 +172,14 @@ def main():
                          "for the cross-family eval)")
     ap.add_argument("--baseline-deg", type=float, default=12.0,
                     help="plane-pair camera baseline (degrees)")
+    ap.add_argument("--fx-jitter", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="--data plane scale augmentation: per-example "
+                         "fx multiplier sampled U(LO, HI).  HI=2.5 "
+                         "zooms a 256-px canvas to the 640-px protocol's "
+                         "apparent feature scale (round-5 scale-"
+                         "extrapolation diagnosis, STATUS.md); shapes "
+                         "stay constant so no re-jit")
     ap.add_argument("--dustbin-final", type=float, default=1.0,
                     help="annealed end value of the anti-collapse dustbin "
                          "weight (5.0 = no anneal)")
@@ -273,8 +281,10 @@ def main():
         from pats_tpu.data.synthetic_pairs import (plane_batches,
                                                    plane_pair_example)
 
-        hold_pairs = [plane_pair_example(hold_rng, args.size, level,
-                                         args.baseline_deg, args.texture)
+        hold_pairs = [plane_pair_example(
+            hold_rng, args.size, level, args.baseline_deg, args.texture,
+            fx_scale=(float(hold_rng.uniform(*args.fx_jitter))
+                      if args.fx_jitter else 1.0))
                       for _ in range(args.eval_pairs)]
     else:
         train_imgs = textured_images(rng, args.train_images, H, W)
@@ -292,7 +302,8 @@ def main():
     if args.data == "plane":
         it = plane_batches(args.batch, args.size, level=level, seed=7,
                            baseline_deg=args.baseline_deg,
-                           texture=args.texture)
+                           texture=args.texture,
+                           fx_jitter=args.fx_jitter)
     else:
         it = synthetic_batches(train_imgs, batch_size=args.batch,
                                level=level, seed=7, **warp_kw)
